@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship subject-page bucketization over the sf0.001
+documents table; ``queries``/``oracle_sql`` expose every implemented
+operator (SURVEY.md §2 + pipeline extras) with DuckDB-checkable oracles
+where SQL-expressible (sequential trie capacity allocation is rows-only;
+it is oracle-pinned in tests/ instead).
 """
 
 from __future__ import annotations
@@ -15,24 +15,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: subject-page bucketize sf0.001 documents, count members and
+    total chars per bucket page-rotation root."""
+    from pyspark.sql import functions as F
+
+    from bucketizers_spark.operators import subject_page
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn(
+        "subject",
+        F.concat(
+            F.lit("http://example.org/doc/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    res = subject_page(
+        docs, "subject", salt="s0", seq_col="doc_id", max_relations=20
+    )
+    return (
+        res.assignments.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("bucket_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bucketizers_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bucketizers_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

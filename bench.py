@@ -1,0 +1,76 @@
+"""Headline benchmark: runs the engine's flagship operators end-to-end at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+
+Scaling-efficiency evidence (local[8] vs local[32] on the same synthetic
+token stream) lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "basic_pager",
+    "subject_assign",
+    "subject_relations",
+    "substring_trie",
+    "token_prefix_trie",
+    "time_tumbling",
+    "time_session",
+    "multi_subject_basic",
+    "geo_tile",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_topk",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    from bucketizers_spark.entry_queries import QUERIES
+    from bucketizers_spark.plans.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers so per-query numbers measure the plans
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,827 @@
+"""Driver-contract queries: every operator exposed as (spark, sf_dir) →
+DataFrame plus a DuckDB-equivalent ANSI SQL oracle (CORRECTNESS gate).
+
+Column names are aliased identically on both sides (the driver sorts columns
+by name and hashes values). Floating point is avoided in hashed outputs:
+money-like sums go through integer cents, similarity scores are rounded to
+4 decimals from bit-identical double pipelines (same fold order both sides).
+
+Query inventory maps to SURVEY.md §2 + the training-data pipeline extras:
+- basic pager / relations (S1), fallback pager (O4)
+- subject-page assignment / relations / seals with root rotation (S3)
+- substring + token-prefix tries (S2; rows-only oracle — sequential
+  capacity semantics are not expressible in one SQL query)
+- time windows: tumbling / sliding / session (north_rule streaming ops,
+  batch-parity forms)
+- multi composition (S5), geospatial slippy-tile paging (S4 analog)
+- dedup: exact, minhash-LSH bands, simhash, n-gram jaccard
+- similarity: brute-force cosine top-k, sign-LSH buckets
+- text: quality stats, language guess, token counting, fingerprinting
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bucketizers_spark.operators import (
+    basic_pager,
+    fallback_pager,
+    session_bucketizer,
+    subject_page,
+    substring_trie,
+    tumbling_bucketizer,
+)
+from bucketizers_spark.operators.multi import paged_within_parent
+from bucketizers_spark.operators.substring import token_prefix_trie
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# S1 basic pager + relations (events, pageSize 50)
+# --------------------------------------------------------------------------
+def q_basic_pager(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    res = basic_pager(ev, page_size=50, seq_col="event_id")
+    return (
+        res.assignments.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+SQL_BASIC_PAGER = """
+WITH ranked AS (
+  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS r FROM events
+)
+SELECT CAST(CAST(floor(r / 50) AS BIGINT) AS VARCHAR) AS bucket_id,
+       COUNT(*) AS n_members,
+       MIN(event_id) AS min_event,
+       MAX(event_id) AS max_event
+FROM ranked GROUP BY 1
+"""
+
+
+def q_basic_relations(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    res = basic_pager(ev, page_size=50, seq_col="event_id")
+    return res.relations.select("from_bucket", "relation_type", "to_bucket")
+
+
+SQL_BASIC_RELATIONS = """
+WITH pages AS (
+  SELECT DISTINCT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 50) AS BIGINT) AS p
+  FROM events
+)
+SELECT CAST(p - 1 AS VARCHAR) AS from_bucket,
+       'Relation' AS relation_type,
+       CAST(p AS VARCHAR) AS to_bucket
+FROM pages WHERE p >= 1
+"""
+
+
+# --------------------------------------------------------------------------
+# O4 fallback pager (documents with short text fall through, pageSize 25)
+# --------------------------------------------------------------------------
+def q_fallback_pager(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") < 200)
+    res = fallback_pager(docs, page_size=25, seq_col="doc_id")
+    return res.assignments.select("doc_id", "bucket_id")
+
+
+SQL_FALLBACK_PAGER = """
+SELECT doc_id,
+       'bucketless-' || CAST(CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 25) AS BIGINT) AS VARCHAR) AS bucket_id
+FROM documents WHERE n_chars < 200
+"""
+
+
+# --------------------------------------------------------------------------
+# S3 subject-page: assignment, relations (maxRelations 7), seals
+# --------------------------------------------------------------------------
+def _events_with_subject(spark, sf_dir):
+    return _t(spark, sf_dir, "events").withColumn(
+        "subject",
+        F.concat(F.lit("http://example.org/user/"), F.col("user_id").cast("string")),
+    )
+
+
+def q_subject_assign(spark, sf_dir):
+    df = _events_with_subject(spark, sf_dir)
+    res = subject_page(df, "subject", salt="s0", seq_col="event_id")
+    return res.assignments.select("event_id", "bucket_id")
+
+
+SQL_SUBJECT_ASSIGN = """
+SELECT event_id, CAST(user_id AS VARCHAR) || '-s0' AS bucket_id FROM events
+"""
+
+_SUBJ_FIRSTS = """
+  firsts AS (
+    SELECT CAST(user_id AS VARCHAR) || '-s0' AS bucket_id,
+           MIN(event_id) AS first_seq,
+           arg_min('http://example.org/user/' || CAST(user_id AS VARCHAR), event_id) AS value
+    FROM events GROUP BY 1
+  ),
+  ranked AS (
+    SELECT *, CAST(floor((row_number() OVER (ORDER BY first_seq) - 1) / 7) AS BIGINT) AS root_idx
+    FROM firsts
+  )
+"""
+
+
+def q_subject_relations(spark, sf_dir):
+    df = _events_with_subject(spark, sf_dir)
+    res = subject_page(
+        df, "subject", salt="s0", seq_col="event_id",
+        max_relations=7, property_path="ex:user",
+    )
+    return res.relations.select(
+        "from_bucket",
+        "relation_type",
+        "to_bucket",
+        F.element_at("values", 1).alias("value"),
+        "created_at_seq",
+    )
+
+
+SQL_SUBJECT_RELATIONS = f"""
+WITH {_SUBJ_FIRSTS}
+SELECT CASE WHEN root_idx = 0 THEN 'root' ELSE 'root-' || CAST(root_idx AS VARCHAR) END AS from_bucket,
+       'EqualThan' AS relation_type,
+       bucket_id AS to_bucket,
+       value,
+       first_seq AS created_at_seq
+FROM ranked
+UNION ALL
+SELECT CASE WHEN i = 1 THEN 'root' ELSE 'root-' || CAST(i - 1 AS VARCHAR) END,
+       'Relation',
+       'root-' || CAST(i AS VARCHAR),
+       NULL,
+       MIN(first_seq)
+FROM (SELECT root_idx AS i, first_seq FROM ranked WHERE root_idx >= 1) t
+GROUP BY i
+"""
+
+
+def q_subject_seals(spark, sf_dir):
+    df = _events_with_subject(spark, sf_dir)
+    res = subject_page(
+        df, "subject", salt="s0", seq_col="event_id", max_relations=7
+    )
+    return res.seals
+
+
+SQL_SUBJECT_SEALS = f"""
+WITH {_SUBJ_FIRSTS}
+SELECT CASE WHEN i = 1 THEN 'root' ELSE 'root-' || CAST(i - 1 AS VARCHAR) END AS bucket_id,
+       MIN(first_seq) AS sealed_at_seq
+FROM (SELECT root_idx AS i, first_seq FROM ranked WHERE root_idx >= 1) t
+GROUP BY i
+"""
+
+
+# --------------------------------------------------------------------------
+# time windows (north_rule): tumbling / sliding / session over events.ts
+# --------------------------------------------------------------------------
+def q_time_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    res = tumbling_bucketizer(ev, "ts", "1 hour")
+    return res.assignments.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+SQL_TIME_TUMBLING = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_DUCK}') AS bucket_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1
+"""
+
+
+def q_time_sliding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("_w")["start"], _FMT_SPARK).alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+SQL_TIME_SLIDING = f"""
+WITH s AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+)
+SELECT strftime(w, '{_FMT_DUCK}') AS window_start, COUNT(*) AS n_events
+FROM s GROUP BY 1
+"""
+
+
+def q_time_session(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = session_bucketizer(ev, "ts", "30 minutes", key_cols=["user_id"])
+    return out.withColumnRenamed("n_members", "n_events")
+
+
+SQL_TIME_SESSION = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '{_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts) + INTERVAL '30 minutes', '{_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# S5 multi: subject stage → per-parent basic pager stage (pageSize 20)
+# --------------------------------------------------------------------------
+def q_multi_subject_basic(spark, sf_dir):
+    df = _events_with_subject(spark, sf_dir)
+    staged = subject_page(
+        df, "subject", salt="s0", seq_col="event_id"
+    ).assignments.withColumnRenamed("bucket_id", "parent")
+    res = paged_within_parent(staged, "parent", page_size=20, seq_col="event_id")
+    return res.assignments.select("event_id", "bucket_id")
+
+
+SQL_MULTI_SUBJECT_BASIC = """
+SELECT event_id,
+       CAST(user_id AS VARCHAR) || '-s0/' ||
+       CAST(CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) / 20) AS BIGINT) AS VARCHAR) AS bucket_id
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# S4 geospatial analog: slippy-tile (z=4) paging over synthesized lon/lat
+# (reproduces the integer-truncation quirk, SlippyMaps.ts:24-25, and the
+# per-tile pager, GeospatialBucketizer.ts:75-77 — pageSize 40)
+# --------------------------------------------------------------------------
+_GEO_Z = 4
+
+
+def _tile_y(lat: int, z: int) -> int:
+    phi = math.radians(lat)
+    n = 2**z
+    y = int(
+        math.floor((1 - math.log(math.tan(phi) + 1 / math.cos(phi)) / math.pi) / 2 * n)
+    )
+    return max(0, min(n - 1, y))
+
+
+_YTAB = {lat: _tile_y(lat, _GEO_Z) for lat in range(-85, 85)}
+
+
+def q_geo_tile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    lon = (F.col("value") * 7919).cast("long") % 360 - 180
+    lat = (F.col("value") * 104729).cast("long") % 170 - 85
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _YTAB.items() for x in kv]
+    )
+    df = ev.withColumn(
+        "_x", F.floor(((lon + 180) * 16).cast("long") / F.lit(360)).cast("long")
+    ).withColumn("_y", mapping[lat])
+    tile = F.concat_ws("/", F.lit(str(_GEO_Z)), F.col("_x"), F.col("_y"))
+    w = Window.partitionBy("_x", "_y").orderBy("event_id")
+    page = F.floor((F.row_number().over(w) - 1) / 40)
+    return df.select(
+        "event_id",
+        F.concat(tile, F.lit("-"), page.cast("string")).alias("bucket_id"),
+    )
+
+
+def _sql_geo_tile() -> str:
+    cases = " ".join(
+        f"WHEN {lat} THEN {y}" for lat, y in _YTAB.items()
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST(trunc(value * 7919) AS BIGINT) % 360 - 180 AS lon,
+         CAST(trunc(value * 104729) AS BIGINT) % 170 - 85 AS lat
+  FROM events
+),
+tiles AS (
+  SELECT event_id,
+         ((lon + 180) * 16) // 360 AS x,
+         CASE lat {cases} END AS y
+  FROM pts
+)
+SELECT event_id,
+       '{_GEO_Z}/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) || '-' ||
+       CAST(CAST(floor((row_number() OVER (PARTITION BY x, y ORDER BY event_id) - 1) / 40) AS BIGINT) AS VARCHAR) AS bucket_id
+FROM tiles
+"""
+
+
+SQL_GEO_TILE = _sql_geo_tile()
+
+
+# --------------------------------------------------------------------------
+# dedup: exact, minhash-LSH, simhash, n-gram jaccard (documents)
+# --------------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canon_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+"""
+
+_N_MINHASH = 8
+_BAND_SIZE = 4
+
+
+def _with_shingles(docs):
+    words = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    return docs.where(F.size(words) >= 3).withColumn("_sh", shingles)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """Per-doc minhash signature bands (LSH buckets): docs sharing a band
+    key are near-dup candidates. Entirely JVM-side (md5 + array fns)."""
+    docs = _with_shingles(_t(spark, sf_dir, "documents"))
+
+    def mh_expr(j: int):
+        # closure (not a default arg!) — an extra lambda parameter would make
+        # pyspark treat it as the (element, index) two-arg form
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+        )
+
+    mh = [mh_expr(j) for j in range(_N_MINHASH)]
+    bands = [
+        F.md5(F.concat(*mh[b * _BAND_SIZE : (b + 1) * _BAND_SIZE])).alias(f"band{b}")
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    ]
+    sig = docs.select("doc_id", *bands)
+    stacked = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(_N_MINHASH // _BAND_SIZE)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    return stacked.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _sql_minhash_core() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh{j}"
+        for j in range(_N_MINHASH)
+    )
+    bands = ", ".join(
+        "md5(" + " || ".join(f"mh{j}" for j in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)) + f") AS band{b}"
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    )
+    return f"""
+  w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+  sh_t AS (
+    SELECT doc_id,
+           list_transform(range(1, len(words) - 1),
+                          i -> array_to_string(words[i:i+2], ' ')) AS sh
+    FROM w WHERE len(words) >= 3
+  ),
+  mh_t AS (SELECT doc_id, {mh} FROM sh_t),
+  bands_t AS (SELECT doc_id, {bands} FROM mh_t)
+"""
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_sql_minhash_core()},
+stacked AS (
+  SELECT doc_id, 0 AS band, band0 AS band_key FROM bands_t
+  UNION ALL
+  SELECT doc_id, 1 AS band, band1 AS band_key FROM bands_t
+)
+SELECT band, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM stacked GROUP BY band, band_key
+"""
+
+_SIM_BITS = 16
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit word-level simhash, computed as 16 in-array folds (no shuffle,
+    no explode, no Python)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def bit_fold(b: int):
+        return F.aggregate(
+            words,
+            F.lit(0),
+            lambda acc, w: acc
+            + F.when(
+                F.substring(F.md5(w), b + 1, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    bits = [
+        F.when(bit_fold(b) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(_SIM_BITS)
+    ]
+    return docs.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    bits = " || ".join(
+        "CASE WHEN list_sum(list_transform(words, w -> CASE WHEN substr(md5(w), "
+        f"{b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 "
+        "THEN '1' ELSE '0' END"
+        for b in range(_SIM_BITS)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id, {bits} AS simhash FROM w
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Candidate near-dup pairs within (lang, source) groups scored by
+    3-gram word-shingle Jaccard (distinct shingles), threshold 0.2."""
+    docs = _with_shingles(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", F.array_distinct("_sh").alias("sh")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.round(inter.cast("double") / union, 4)
+    return pairs.select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        jac.alias("jaccard_r4"),
+    ).where(F.col("jaccard_r4") >= 0.2)
+
+
+SQL_NGRAM_JACCARD = """
+WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents),
+sh_t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(1, len(words) - 1),
+                       i -> array_to_string(words[i:i+2], ' '))) AS sh
+  FROM w WHERE len(words) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+         len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS un
+  FROM sh_t a JOIN sh_t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard_r4
+FROM pairs WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.2
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+def _cosine(a, b):
+    """Bit-identical fold on both engines: elementwise float→double products
+    summed left-to-right, then dot / (sqrt(na) * sqrt(nb))."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5 (the exact
+    baseline an IVF/LSH path is validated against)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = F.broadcast(q).crossJoin(
+        emb.select("vec_id", "embedding")
+    ).where(F.col("vec_id") != F.col("query_id"))
+    sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
+    scored = joined.select("query_id", "vec_id", sim.alias("sim_r4"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r4").desc(), F.col("vec_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 10
+    ).select("query_id", "vec_id", "sim_r4", "rk")
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS sim_r4
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, sim_r4, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r4 DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucket per vector: 8 leading-dimension sign bits — the
+    scale path that prunes the candidate set before exact rescoring."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(8)
+    ]
+    return emb.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+SQL_ANN_LSH = """
+SELECT vec_id,
+       """ + " || ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + """ AS bucket
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis: quality stats, language guess, token counts, fingerprint
+# --------------------------------------------------------------------------
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.length("text").alias("n_chars_actual"),
+        F.regexp_count("text", F.lit("[.,;:!?]")).alias("punct_count"),
+        F.round(stops.cast("double") / F.size(words), 4).alias("stop_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       len(words) AS n_words,
+       length(text) AS n_chars_actual,
+       len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
+       round(CAST(len(list_filter(words, w -> list_contains({_STOPWORDS!r}, w))) AS DOUBLE) / len(words), 4) AS stop_ratio
+FROM w
+"""
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def q_lang_guess(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    def marker_count(m: list[str]):
+        return F.size(F.filter(words, lambda w: w.isin(*m)))
+
+    scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ["es", "de", "fr"]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return docs.select("doc_id", "lang", best.alias("pred_lang"))
+
+
+def _sql_lang_guess() -> str:
+    score = {
+        lang: f"len(list_filter(words, w -> list_contains({m!r}, w)))"
+        for lang, m in _LANG_MARKERS.items()
+    }
+    expr = f"CASE WHEN {score['es']} > {score['en']} THEN 'es' ELSE 'en' END"
+    # replicate the same sequential argmax fold as the Spark side
+    expr_score = f"CASE WHEN {score['es']} > {score['en']} THEN {score['es']} ELSE {score['en']} END"
+    for lang in ["de", "fr"]:
+        expr = f"CASE WHEN {score[lang]} > {expr_score} THEN '{lang}' ELSE {expr} END"
+        expr_score = (
+            f"CASE WHEN {score[lang]} > {expr_score} THEN {score[lang]} ELSE {expr_score} END"
+        )
+    return f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id, lang, {expr} AS pred_lang FROM w
+"""
+
+
+SQL_LANG_GUESS = _sql_lang_guess()
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint: the 4 smallest md5s of the
+    4-char rolling shingles (min-sketch of the rolling-hash set)."""
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") >= 4)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 3),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(4))),
+    )
+    fp = F.concat_ws("", F.slice(F.array_sort(hashes), 1, 4))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       array_to_string(list_sort(list_transform(range(1, length(text) - 2),
+                        i -> md5(substr(text, CAST(i AS BIGINT), 4))))[1:4], '') AS fingerprint
+FROM documents WHERE length(text) >= 4
+"""
+
+
+# --------------------------------------------------------------------------
+# S2 substring / token tries — rows-only (sequential capacity allocation is
+# not expressible as one SQL query; pinned against the oracle in pytest)
+# --------------------------------------------------------------------------
+def q_substring_trie(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = substring_trie(docs, "text", page_size=100, seq_col="doc_id")
+    out = res.assignments.select("doc_id", "bucket_id")
+    return out
+
+
+def q_substring_trie_relations(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = substring_trie(docs, "text", page_size=100, seq_col="doc_id")
+    return res.relations.select(
+        "from_bucket", "relation_type", "to_bucket", "created_at_seq"
+    )
+
+
+def q_token_prefix_trie(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tokens",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.pmod(F.hash(w), F.lit(256))
+        ),
+    )
+    res = token_prefix_trie(docs, "tokens", page_size=50, max_depth=6, seq_col="doc_id")
+    return res.assignments.select("doc_id", "bucket_id")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+QUERIES = {
+    "basic_pager": q_basic_pager,
+    "basic_relations": q_basic_relations,
+    "fallback_pager": q_fallback_pager,
+    "subject_assign": q_subject_assign,
+    "subject_relations": q_subject_relations,
+    "subject_seals": q_subject_seals,
+    "time_tumbling": q_time_tumbling,
+    "time_sliding": q_time_sliding,
+    "time_session": q_time_session,
+    "multi_subject_basic": q_multi_subject_basic,
+    "geo_tile": q_geo_tile,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "text_quality": q_text_quality,
+    "lang_guess": q_lang_guess,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "substring_trie": q_substring_trie,
+    "substring_trie_relations": q_substring_trie_relations,
+    "token_prefix_trie": q_token_prefix_trie,
+}
+
+ORACLES = {
+    "basic_pager": SQL_BASIC_PAGER,
+    "basic_relations": SQL_BASIC_RELATIONS,
+    "fallback_pager": SQL_FALLBACK_PAGER,
+    "subject_assign": SQL_SUBJECT_ASSIGN,
+    "subject_relations": SQL_SUBJECT_RELATIONS,
+    "subject_seals": SQL_SUBJECT_SEALS,
+    "time_tumbling": SQL_TIME_TUMBLING,
+    "time_sliding": SQL_TIME_SLIDING,
+    "time_session": SQL_TIME_SESSION,
+    "multi_subject_basic": SQL_MULTI_SUBJECT_BASIC,
+    "geo_tile": SQL_GEO_TILE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ann_topk": SQL_ANN_TOPK,
+    "ann_lsh": SQL_ANN_LSH,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_guess": SQL_LANG_GUESS,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    # substring_trie / substring_trie_relations / token_prefix_trie:
+    # intentionally absent → rows-only check (see module docstring)
+}

@@ -1,0 +1,398 @@
+"""Substring / prefix radix trie with per-node capacity (S2) — the level-
+synchronous cascade.
+
+Reference semantics
+(/root/reference/packages/bucketizer-substring/lib/SubstringBucketizer.ts:44-148):
+walk the normalized value character by character from the root; place the
+member at the first trie node with room; a full node either descends into an
+existing child or creates it (emitting a ``Substring`` relation and placing
+the member there). Space-separated words are joined with ``'+'``; prefixes
+ending in ``'+'`` are never nodes. A single-word value whose whole string is
+consumed lands in the (existing) full-string node even when full, without a
+counter update (ts:88-93, test :244-278); a multi-word value whose chain is
+exhausted gets **no bucket** (ts:80-86 fallthrough).
+
+Parallel formulation (SURVEY.md §7): the trie's arrival-order counters are
+pure functions of each member's arrival rank *per node*. A member's
+candidate chain is the sequence of non-'+'-ending prefixes of its value;
+node n is only ever a candidate at chain index idx(n) = len(n) minus the
+number of skipped '+'-positions — intrinsic to n. So placement can be
+computed level-synchronously:
+
+  level 0   the root: capacity page_size is consumed by the first
+            page_size members **globally** in seq order — computed as a
+            seq threshold (top-K), not a single-partition window.
+  level L≥1 group the still-unplaced members by their level-L candidate
+            node; within each node, order by seq:
+              - the first arrival "creates" the node (1 counter slot) and
+                emits the Substring relation from its parent;
+              - non-terminal arrivals fill the remaining capacity in rank
+                order; overflow cascades to level L+1;
+              - terminal arrivals (chain exhausted at this node) are all
+                assigned here: the single-word ones without consuming
+                capacity, the multi-word non-first ones not at all
+                (bucket_id NULL).
+
+Every reference counter mutation is reproduced exactly; equivalence with the
+sequential oracle is pytest-pinned on randomized fixtures.
+
+Scale notes:
+- Each level shuffles only the still-unplaced rows (shrinking fast: a level
+  places up to page_size rows per node). Level count ≈ depth of the hottest
+  duplicated prefix, not value length.
+- Hot-node skew: rows for one node land in one window partition. Capacity
+  placement only needs the node's (cap)-th smallest seq, so a pathological
+  hot node can be handled with a per-node threshold aggregate instead of
+  row_number; the window form is kept here for clarity and exactness and is
+  fine while per-node row counts ≪ partition memory.
+- Per-level frames are persisted and lineage-truncated so the loop's cost
+  is linear in levels, not quadratic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bucketizers_spark.operators.core import (
+    BucketizeResult,
+    empty_relations,
+    empty_seals,
+    relation_row,
+)
+from bucketizers_spark.functions.normalize import normalize_substring_col
+
+
+class _Chain:
+    """Callbacks describing a member's candidate-node chain."""
+
+    def __init__(
+        self,
+        prepare: Callable[[DataFrame], DataFrame],
+        node: Callable[[int], Column],  # level L≥1 → node name column
+        parent: Callable[[int], Column],  # level L≥2 → parent node name
+        sep: str,
+    ):
+        self.prepare = prepare  # adds _v-ish cols + _m (chain length) + _multi
+        self.node = node
+        self.parent = parent
+        self.sep = sep
+
+
+def _char_chain(value_col: str, ascii_fast: bool) -> _Chain:
+    """Character-prefix chain over the normalized value ('+' for spaces)."""
+
+    def prepare(df: DataFrame) -> DataFrame:
+        norm = normalize_substring_col(F.col(value_col), ascii_fast=ascii_fast)
+        v = F.translate(norm, " ", "+")
+        df = df.withColumn("_v", v)
+        # prefix lengths that are valid nodes: positions whose character is
+        # not '+' (a prefix ending in '+' is never checked/created).
+        # NB: sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so the
+        # empty string must be guarded explicitly.
+        npos = F.when(
+            F.length("_v") > 0,
+            F.filter(
+                F.sequence(F.lit(1), F.length("_v")),
+                lambda i: F.col("_v").substr(i, F.lit(1)) != "+",
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            df.withColumn("_npos", npos)
+            .withColumn("_m", F.size("_npos"))
+            .withColumn("_multi", F.col("_v").contains("+"))
+        )
+
+    def node(level: int) -> Column:
+        return F.col("_v").substr(
+            F.lit(1), F.element_at(F.col("_npos"), level)
+        )
+
+    def parent(level: int) -> Column:
+        return F.col("_v").substr(
+            F.lit(1), F.element_at(F.col("_npos"), level - 1)
+        )
+
+    return _Chain(prepare, node, parent, "+")
+
+
+def _token_chain(tokens_col: str, max_depth: int) -> _Chain:
+    """Leading token n-gram chain (north_star: radix trie over token
+    n-grams). Node at level L = dash-joined tokens[:L]. All values are
+    'single-word' (terminal members are assigned at the full node without
+    consuming capacity). Chains are capped at max_depth n-grams; members
+    longer than the cap terminate at the cap node."""
+
+    def prepare(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "_m", F.least(F.size(F.col(tokens_col)), F.lit(max_depth))
+            )
+            .withColumn("_multi", F.lit(False))
+        )
+
+    def node(level: int) -> Column:
+        return F.concat_ws("-", F.slice(F.col(tokens_col), 1, level))
+
+    def parent(level: int) -> Column:
+        return F.concat_ws("-", F.slice(F.col(tokens_col), 1, level - 1))
+
+    return _Chain(prepare, node, parent, "-")
+
+
+def _run_cascade(
+    df: DataFrame,
+    chain: _Chain,
+    *,
+    page_size: int,
+    root: str,
+    seq_col: str,
+    max_depth: int,
+    node_state: DataFrame | None = None,
+    emit_counter_updates: bool = False,
+) -> BucketizeResult:
+    """Run the cascade; ``node_state`` (node string, cnt long) carries trie
+    counters from previous micro-batches for the incremental streaming path
+    (an existing node never re-emits its creation relation, its remaining
+    capacity is page_size - cnt, and chain-exhausted multi-word members get
+    no bucket even as first in-batch arrivals). With
+    ``emit_counter_updates`` the result carries a ``counter_updates``
+    DataFrame (node, cnt) of post-batch totals for all touched nodes."""
+    spark = df.sparkSession
+    payload_cols = df.columns
+    work = chain.prepare(df)
+
+    assignment_parts: list[DataFrame] = []
+    relation_parts: list[DataFrame] = []
+    counter_parts: list[DataFrame] = []
+    persisted: list[DataFrame] = []
+
+    state = node_state
+    if state is not None:
+        state = state.select(
+            F.col("node").alias("_st_node"), F.col("cnt").alias("_st_cnt")
+        )
+
+    # ---- empty-value edge: normalize('') → bucket '' with no capacity
+    # interaction (SubstringBucketizer.ts:80-86 with zero characters)
+    empties = work.where(F.col("_m") == 0)
+    work = work.where(F.col("_m") > 0)
+    assignment_parts.append(
+        empties.select(*payload_cols, F.lit("").alias("bucket_id"))
+    )
+
+    # ---- level 0: the root. Global top-(remaining capacity) by seq — a
+    # threshold, not a single-partition window (scale: O(N) scan + tiny
+    # sort of K rows). Root counter is seeded (SubstringBucketizer.ts:30-31)
+    # so the root never "creates" and never emits a relation.
+    root_cnt = 0
+    if state is not None:
+        row = state.where(F.col("_st_node") == root).collect()
+        root_cnt = row[0]["_st_cnt"] if row else 0
+    root_cap = max(page_size - root_cnt, 0)
+    thr = None
+    if root_cap > 0:
+        head = (
+            work.select(seq_col).orderBy(seq_col).limit(root_cap)
+            .agg(F.max(seq_col).alias("thr"))
+            .collect()
+        )
+        thr = head[0]["thr"] if head else None
+    if thr is not None:
+        placed0 = work.where(F.col(seq_col) <= F.lit(thr))
+        assignment_parts.append(
+            placed0.select(*payload_cols, F.lit(root).alias("bucket_id"))
+        )
+        if emit_counter_updates:
+            counter_parts.append(
+                placed0.agg(
+                    (F.count(F.lit(1)) + F.lit(root_cnt)).alias("cnt")
+                ).select(F.lit(root).alias("node"), "cnt")
+            )
+        remaining = work.where(F.col(seq_col) > F.lit(thr))
+    else:
+        remaining = work
+        if emit_counter_updates and root_cnt:
+            counter_parts.append(
+                spark.createDataFrame([(root, root_cnt)], "node string, cnt long")
+            )
+
+    level = 0
+    while True:
+        level += 1
+        if level > max_depth:
+            # safety valve (engine knob; the reference has no cap): force-
+            # assign whatever is left to its current node, uncounted
+            assignment_parts.append(
+                remaining.withColumn("bucket_id", chain.node(level - 1))
+                .select(*payload_cols, "bucket_id")
+            )
+            break
+
+        lvl = remaining.withColumn("_node", chain.node(level)).withColumn(
+            "_terminal", F.col("_m") == level
+        )
+        if state is not None:
+            lvl = lvl.join(
+                F.broadcast(state), lvl["_node"] == state["_st_node"], "left"
+            ).drop("_st_node")
+        else:
+            lvl = lvl.withColumn("_st_cnt", F.lit(None).cast("long"))
+        w = Window.partitionBy("_node").orderBy(seq_col)
+        wfull = Window.partitionBy("_node")
+        step = (
+            lvl.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_ntrank",
+                F.sum(F.when(~F.col("_terminal"), 1).otherwise(0)).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+        step = step.withColumn(
+            "_first_nt",
+            F.max(
+                F.when(F.col("_rn") == 1, (~F.col("_terminal")).cast("int"))
+            ).over(wfull),
+        ).persist()
+        persisted.append(step)
+
+        exists = F.col("_st_cnt").isNotNull()
+        # capacity available to non-terminal arrivals this batch:
+        # - existing node: page_size - carried count (no creation slot)
+        # - fresh node: creation takes 1 slot — by the first arrival,
+        #   whether it is non-terminal (counts toward page_size) or
+        #   terminal (leaves page_size - 1 for non-terminals)
+        cap_nt = F.when(
+            exists, F.greatest(F.lit(page_size) - F.col("_st_cnt"), F.lit(0))
+        ).otherwise(
+            F.when(F.col("_first_nt") == 1, F.lit(page_size)).otherwise(
+                F.lit(page_size - 1)
+            )
+        )
+        placed_nt = ~F.col("_terminal") & (F.col("_ntrank") <= cap_nt)
+        # terminal arrivals: on a fresh node the first one creates+counts;
+        # all later single-word terminals are assigned uncounted
+        # (SubstringBucketizer.ts:88-93) and later multi-word terminals get
+        # NO bucket (ts:80-86). On an existing node no arrival creates.
+        term_assigned = F.col("_terminal") & (
+            F.when(exists, ~F.col("_multi")).otherwise(
+                (F.col("_rn") == 1) | ~F.col("_multi")
+            )
+        )
+        term_null = F.col("_terminal") & ~term_assigned
+        leaving = step.where(placed_nt | F.col("_terminal"))
+        assignment_parts.append(
+            leaving.select(
+                *payload_cols,
+                F.when(term_null, F.lit(None).cast("string"))
+                .otherwise(F.col("_node"))
+                .alias("bucket_id"),
+            )
+        )
+        parent_col = F.lit(root) if level == 1 else chain.parent(level)
+        relation_parts.append(
+            step.where((F.col("_rn") == 1) & ~exists).select(
+                *relation_row(
+                    parent_col,
+                    "Substring",
+                    F.col("_node"),
+                    values=F.split(F.col("_node"), f"[{chain.sep}]"),
+                    seq=F.col(seq_col),
+                )
+            )
+        )
+        if emit_counter_updates:
+            counted = placed_nt | (
+                ~exists & (F.col("_rn") == 1) & F.col("_terminal")
+            )
+            counter_parts.append(
+                step.groupBy("_node")
+                .agg(
+                    (
+                        F.coalesce(F.max("_st_cnt"), F.lit(0))
+                        + F.sum(counted.cast("long"))
+                    ).alias("cnt")
+                )
+                .select(F.col("_node").alias("node"), "cnt")
+            )
+        remaining = step.where(~F.col("_terminal") & ~placed_nt).drop(
+            "_node", "_terminal", "_rn", "_ntrank", "_first_nt", "_st_cnt"
+        )
+        if remaining.isEmpty():
+            break
+
+    assignments = assignment_parts[0]
+    for part in assignment_parts[1:]:
+        assignments = assignments.unionByName(part)
+    relations = (
+        empty_relations(spark)
+        if not relation_parts
+        else relation_parts[0]
+    )
+    for part in relation_parts[1:]:
+        relations = relations.unionByName(part)
+
+    result = BucketizeResult(assignments, relations, empty_seals(spark))
+    result.persisted = persisted  # caller may unpersist after materializing
+    if emit_counter_updates:
+        updates = counter_parts[0] if counter_parts else spark.createDataFrame(
+            [], "node string, cnt long"
+        )
+        for part in counter_parts[1:]:
+            updates = updates.unionByName(part)
+        result.counter_updates = updates
+    return result
+
+
+def substring_trie(
+    df: DataFrame,
+    value_col: str,
+    *,
+    page_size: int = 50,
+    root: str = "root",
+    seq_col: str = "seq",
+    max_depth: int = 64,
+    ascii_fast: bool = True,
+    node_state: DataFrame | None = None,
+    emit_counter_updates: bool = False,
+) -> BucketizeResult:
+    """Character-mode substring trie (reference-exact)."""
+    return _run_cascade(
+        df,
+        _char_chain(value_col, ascii_fast),
+        page_size=page_size,
+        root=root,
+        seq_col=seq_col,
+        max_depth=max_depth,
+        node_state=node_state,
+        emit_counter_updates=emit_counter_updates,
+    )
+
+
+def token_prefix_trie(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    *,
+    page_size: int = 50,
+    root: str = "root",
+    seq_col: str = "seq",
+    max_depth: int = 8,
+    node_state: DataFrame | None = None,
+    emit_counter_updates: bool = False,
+) -> BucketizeResult:
+    """Token-mode radix trie over leading n-grams (the north-star payload:
+    pre-tokenized sequences). Same cascade, chain keys are dash-joined
+    token prefixes, capped at ``max_depth`` n-grams."""
+    return _run_cascade(
+        df,
+        _token_chain(tokens_col, max_depth),
+        page_size=page_size,
+        root=root,
+        seq_col=seq_col,
+        max_depth=max_depth,
+        node_state=node_state,
+        emit_counter_updates=emit_counter_updates,
+    )

@@ -1,0 +1,48 @@
+"""Streaming source staging: Iceberg-snapshot emulation over parquet chunks.
+
+Production target (north_rule) is ``spark.readStream.format("iceberg")`` on
+the token-sequence table; snapshot/file/row order supplies the deterministic
+``seq``. No Iceberg runtime jars exist in this sandbox, so streams are
+emulated by staging the same rows as K parquet chunk files consumed by the
+file-stream source in ``seq`` order with ``maxFilesPerTrigger`` — one chunk
+≈ one snapshot (FIXTURES.md F1 "Streaming mode").
+
+The chunk files are written one micro-batch worth at a time with
+lexicographically ordered names so `latestFirst=false` file listing yields
+arrival order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from bucketizers_spark.sources.synthetic import TOKEN_STREAM_SCHEMA
+
+
+def stage_chunks(pdf: pd.DataFrame, out_dir: str, n_chunks: int) -> list[str]:
+    """Split a seq-ordered pandas frame into n ordered parquet chunk files."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    n = len(pdf)
+    per = (n + n_chunks - 1) // n_chunks
+    for k in range(n_chunks):
+        part = pdf.iloc[k * per : (k + 1) * per]
+        if part.empty:
+            continue
+        path = os.path.join(out_dir, f"chunk_{k:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        paths.append(path)
+    return paths
+
+
+def read_token_stream(spark, chunk_dir: str, max_files_per_trigger: int = 1):
+    return (
+        spark.readStream.schema(TOKEN_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(chunk_dir)
+    )

@@ -1,0 +1,187 @@
+"""Structured Streaming stateful kernels (M4): keyed state via
+``applyInPandasWithState`` — the north_rule-named mechanism for page-counter
+and first-seen state — all vectorized pandas, no per-row Python.
+
+Two kernels compose the streaming subject-page bucketizer (S3):
+
+1. ``_first_seen_fn``: keyed by ``bucket_id``; state = (seen: bool).
+   Emits every member row tagged ``is_first`` for exactly one row per
+   bucket across the stream's lifetime (the hypermediaControlsMap.has()
+   check, SubjectPageBucketizer.ts:82-90, as distributed keyed state).
+2. ``_rotation_fn``: the small stream of first-seen rows keyed to a single
+   constant key; state = (root_relation_count, root_count). Reproduces
+   getCurrentStart (ts:55-72): assigns each new bucket its root, emits
+   rotation relations + seals. The per-key volume here is one row per NEW
+   bucket — tiny relative to member volume, so the single key is not a
+   throughput bottleneck (members never pass through it).
+
+The basic pager (S1) needs no keyed state in this engine: with ``seq``
+stamped at the source its bucket is the stateless map floor(seq/pageSize)
+(SURVEY.md §7); the substring trie's cross-key cascade runs incrementally in
+``foreachBatch`` with a counters table (see streaming/trie_stream.py).
+
+State schemas use explicit StructTypes; timeouts are NoTimeout — bucket
+state lives for the stream's lifetime, exactly like the reference's
+never-evicted Maps (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bucketizers_spark.functions.normalize import normalize_subject_col
+
+_FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+_ROTATION_STATE = T.StructType(
+    [
+        T.StructField("rel_count", T.LongType()),
+        T.StructField("root_count", T.LongType()),
+    ]
+)
+
+
+def _first_seen_fn(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    seen = state.get[0] if state.exists else False
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        first = pd.Series(False, index=pdf.index)
+        if not seen and len(pdf):
+            first.iloc[0] = True
+            seen = True
+        pdf = pdf.assign(is_first=first)
+        yield pdf
+    state.update((bool(seen),))
+
+
+def _make_rotation_fn(max_relations: int, root: str):
+    """Vectorized getCurrentStart (SubjectPageBucketizer.ts:55-72): the k-th
+    new bucket overall (0-based rank r) relates from root index
+    r // max_relations; a rotation (+seal of the previous root) fires with
+    every bucket whose r is a positive multiple of max_relations. The keyed
+    state carries only the running total of new buckets."""
+
+    cols = ["from_bucket", "relation_type", "to_bucket", "value", "seq", "seal"]
+
+    def root_names(idx: "np.ndarray") -> pd.Series:
+        s = pd.Series(idx).astype(str)
+        return pd.Series(
+            np.where(idx == 0, root, root + "-" + s), dtype=object
+        )
+
+    def fn(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        rel_count, root_count = (
+            (state.get[0], state.get[1]) if state.exists else (0, 0)
+        )
+        total = root_count * max_relations + rel_count
+        for pdf in pdfs:
+            pdf = pdf.sort_values("seq").reset_index(drop=True)
+            n = len(pdf)
+            if not n:
+                yield pd.DataFrame(columns=cols)
+                continue
+            r = total + np.arange(n, dtype=np.int64)
+            root_idx = r // max_relations
+            eq = pd.DataFrame(
+                {
+                    "from_bucket": root_names(root_idx),
+                    "relation_type": "EqualThan",
+                    "to_bucket": pdf["bucket_id"],
+                    "value": pdf["subject_value"],
+                    "seq": pdf["seq"],
+                    "seal": None,
+                }
+            )
+            rot_mask = (r % max_relations == 0) & (r > 0)
+            rot = pd.DataFrame(
+                {
+                    "from_bucket": root_names(root_idx[rot_mask] - 1),
+                    "relation_type": "Relation",
+                    "to_bucket": root_names(root_idx[rot_mask]),
+                    "value": None,
+                    "seq": pdf.loc[rot_mask, "seq"].to_numpy(),
+                    "seal": root_names(root_idx[rot_mask] - 1),
+                }
+            )
+            total += n
+            yield pd.concat([rot, eq], ignore_index=True)[cols]
+        root_count = max((total - 1) // max_relations, 0) if total else 0
+        rel_count = total - root_count * max_relations
+        state.update((int(rel_count), int(root_count)))
+
+    return fn
+
+
+_ROTATION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("from_bucket", T.StringType()),
+        T.StructField("relation_type", T.StringType()),
+        T.StructField("to_bucket", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("seal", T.StringType()),
+    ]
+)
+
+
+def subject_page_stream(
+    stream_df: DataFrame,
+    value_col: str,
+    *,
+    salt: str = "s0",
+    ascii_fast: bool = True,
+) -> DataFrame:
+    """Stage 1 of streaming subject-page: stateless bucket id + keyed
+    first-seen tagging. Returns the member stream with ``bucket_id`` and
+    ``is_first`` columns (append mode)."""
+    raw = F.col(value_col).cast("string")
+    last_segment = F.element_at(F.split(raw, "/"), -1)
+    with_bucket = stream_df.withColumn(
+        "bucket_id",
+        normalize_subject_col(
+            F.concat(last_segment, F.lit("-" + salt)), ascii_fast=ascii_fast
+        ),
+    ).withColumn("subject_value", raw)
+
+    out_schema = T.StructType(
+        with_bucket.schema.fields + [T.StructField("is_first", T.BooleanType())]
+    )
+    return with_bucket.groupBy("bucket_id").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=out_schema,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rotation_stream(
+    first_seen_df: DataFrame,
+    *,
+    max_relations: int = 100,
+    root: str = "root",
+) -> DataFrame:
+    """Stage 2: route first-seen rows through the single-key rotation
+    state; emits EqualThan relations, rotation Relations, and seal marks
+    (rows with ``seal`` set)."""
+    keyed = first_seen_df.where(F.col("is_first")).withColumn(
+        "_k", F.lit(0)
+    )
+    return keyed.groupBy("_k").applyInPandasWithState(
+        _make_rotation_fn(max_relations, root),
+        outputStructType=_ROTATION_OUT_SCHEMA,
+        stateStructType=_ROTATION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

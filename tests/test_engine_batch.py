@@ -1,0 +1,205 @@
+"""Engine-vs-oracle equivalence (SURVEY.md §5.2 step 2).
+
+The distributed batch operators must reproduce the sequential oracle's
+(bucket, member) assignments, relations, and seals EXACTLY on deterministic
+skewed fixtures — including deep trie cascades, root rotations, terminal
+placements, and fallback paging.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bucketizers_spark.oracle import (
+    BasicOracle,
+    SubjectPageOracle,
+    SubstringOracle,
+)
+from bucketizers_spark.operators import (
+    basic_pager,
+    fallback_pager,
+    subject_page,
+    substring_trie,
+)
+from bucketizers_spark.operators.substring import token_prefix_trie
+
+
+def members_df(spark, values: list[str | None]):
+    rows = [(i, f"m{i}", v) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "seq long, member_id string, value string")
+
+
+def collect_assignments(df) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for r in df.select("member_id", "bucket_id").collect():
+        out.setdefault(r.member_id, [])
+        if r.bucket_id is not None:
+            out[r.member_id].append(r.bucket_id)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def oracle_assignments(oracle, values) -> dict[str, list[str]]:
+    out = {}
+    rels = []
+    seals = []
+    for i, v in enumerate(values):
+        res = oracle.bucketize([v] if v is not None else None, f"m{i}")
+        out[f"m{i}"] = sorted(res.buckets)
+        rels.extend(res.relations)
+        seals.extend(res.seals)
+    return out, rels, seals
+
+
+def rel_set(df):
+    return {
+        (r.from_bucket, r.relation_type, r.to_bucket, tuple(r["values"] or ()))
+        for r in df.collect()
+    }
+
+
+def oracle_rel_set(rels):
+    return {(r.from_bucket, r.relation_type, r.to_bucket, tuple(r.values)) for r in rels}
+
+
+@pytest.fixture(scope="module")
+def name_values():
+    """Skewed multi-word names: forces deep cascades at page_size 2."""
+    rng = np.random.default_rng(7)
+    pool = [
+        "John Doe",
+        "John Doe",  # double weight
+        "Jane Doe",
+        "Jan",
+        "J",
+        "J D",
+        "Johanna Doerr",
+        "jo anne",
+        "Smith",
+        "So",
+        "",
+    ]
+    return [pool[i] for i in rng.integers(0, len(pool), size=300)]
+
+
+class TestBasicEquivalence:
+    def test_assignments_and_relations(self, spark):
+        values = [None] * 137
+        df = members_df(spark, values)
+        res = basic_pager(df, page_size=7, dense_seq=True)
+        exp, orels, _ = oracle_assignments(BasicOracle(page_size=7), values)
+        got = collect_assignments(res.assignments)
+        assert got == exp
+        assert rel_set(res.relations) == oracle_rel_set(orels)
+
+    def test_dense_vs_rownumber_paths_agree(self, spark):
+        values = [None] * 60
+        df = members_df(spark, values)
+        a = collect_assignments(basic_pager(df, page_size=9, dense_seq=True).assignments)
+        b = collect_assignments(basic_pager(df, page_size=9, dense_seq=False).assignments)
+        assert a == b
+
+
+class TestFallbackEquivalence:
+    def test_bucketless_pages(self, spark):
+        values = [None] * 53
+        df = members_df(spark, values)
+        res = fallback_pager(df, page_size=8, dense_seq=True)
+        exp, orels, _ = oracle_assignments(SubstringOracle(page_size=8), values)
+        assert collect_assignments(res.assignments) == exp
+        assert rel_set(res.relations) == oracle_rel_set(orels)
+
+
+class TestSubjectEquivalence:
+    def test_assignments_relations_seals(self, spark):
+        rng = np.random.default_rng(3)
+        keys = np.minimum(rng.zipf(1.4, size=400), 60)
+        values = [f"http://example.org/thing/v{k}" for k in keys]
+        df = members_df(spark, values)
+        res = subject_page(
+            df,
+            "value",
+            salt="abc",
+            max_relations=5,
+            property_path="ex:path",
+        )
+        oracle = SubjectPageOracle(
+            salt="abc", max_relations=5, property_path="ex:path"
+        )
+        exp, orels, oseals = oracle_assignments(oracle, values)
+        assert collect_assignments(res.assignments) == exp
+        assert rel_set(res.relations) == oracle_rel_set(orels)
+        got_seals = sorted(r.bucket_id for r in res.seals.collect())
+        assert got_seals == sorted(oseals)
+
+    def test_relation_paths_and_values(self, spark):
+        df = members_df(spark, ["http://x/a", "http://x/a", "http://x/b"])
+        res = subject_page(df, "value", salt="s", property_path="ex:p")
+        rows = {r.to_bucket: r for r in res.relations.collect()}
+        assert rows["a-s"]["values"] == ["http://x/a"]
+        assert rows["a-s"]["path"] == "ex:p"
+
+
+class TestSubstringEquivalence:
+    @pytest.mark.parametrize("page_size", [1, 2, 5])
+    def test_cascade_matches_oracle(self, spark, name_values, page_size):
+        df = members_df(spark, name_values)
+        res = substring_trie(df, "value", page_size=page_size)
+        oracle = SubstringOracle(page_size=page_size)
+        exp, orels, _ = oracle_assignments(oracle, name_values)
+        got = collect_assignments(res.assignments)
+        assert got == exp
+        assert rel_set(res.relations) == oracle_rel_set(orels)
+        for p in res.persisted:
+            p.unpersist()
+
+    def test_identical_values_deep_cascade(self, spark):
+        # 40 copies of the same two-word value at page_size 3: exercises
+        # the multi-word no-bucket terminal rule and deep descents
+        values = ["ab cd"] * 40
+        df = members_df(spark, values)
+        res = substring_trie(df, "value", page_size=3)
+        exp, orels, _ = oracle_assignments(SubstringOracle(page_size=3), values)
+        assert collect_assignments(res.assignments) == exp
+        assert rel_set(res.relations) == oracle_rel_set(orels)
+        for p in res.persisted:
+            p.unpersist()
+
+    def test_unicode_nfkd_via_pandas_udf(self, spark):
+        values = ["John Doe", "ñ", "̃ȷ", "ñ"]
+        df = members_df(spark, values)
+        res = substring_trie(df, "value", page_size=1, ascii_fast=False)
+        exp, orels, _ = oracle_assignments(SubstringOracle(page_size=1), values)
+        assert collect_assignments(res.assignments) == exp
+        for p in res.persisted:
+            p.unpersist()
+
+
+class TestTokenTrieEquivalence:
+    def test_token_mode_matches_char_oracle(self, spark):
+        rng = np.random.default_rng(11)
+        n = 250
+        toks = [
+            np.minimum(rng.zipf(1.5, size=int(ln)) - 1, 50).astype(int).tolist()
+            for ln in rng.integers(1, 7, size=n)
+        ]
+        rows = [(i, f"m{i}", t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(
+            rows, "seq long, member_id string, tokens array<int>"
+        )
+        res = token_prefix_trie(df, "tokens", page_size=4, max_depth=8)
+        # oracle: map each token to a unique char → identical cascade,
+        # single-word semantics
+        oracle = SubstringOracle(page_size=4)
+        char_vals = ["".join(chr(0x4E00 + t) for t in ts) for ts in toks]
+        exp, _, _ = oracle_assignments(oracle, char_vals)
+
+        def chars_to_key(b: str) -> str:
+            if b in ("root", ""):
+                return b
+            return "-".join(str(ord(c) - 0x4E00) for c in b)
+
+        exp_tok = {m: sorted(chars_to_key(b) for b in bs) for m, bs in exp.items()}
+        assert collect_assignments(res.assignments) == exp_tok
+        for p in res.persisted:
+            p.unpersist()

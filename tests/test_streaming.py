@@ -1,0 +1,270 @@
+"""Streaming shell tests (M4/M5): chunked file-stream source, incremental
+trie with persisted counters, keyed-state subject-page, watermark sealing,
+exactly-once sink semantics, and checkpoint resume.
+
+The gold standard everywhere: the batch operator over the concatenated
+stream (itself oracle-pinned in test_engine_batch.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from bucketizers_spark.operators.substring import token_prefix_trie
+from bucketizers_spark.operators.subject_page import subject_page
+from bucketizers_spark.sources.stream import read_token_stream, stage_chunks
+from bucketizers_spark.sources.synthetic import TOKEN_STREAM_SCHEMA, token_stream_pdf
+from bucketizers_spark.streaming.trie_stream import TrieStreamJob
+from bucketizers_spark.streaming.stateful import (
+    rotation_stream,
+    subject_page_stream,
+)
+from bucketizers_spark.streaming.windows import tumbling_seal_stream
+
+SCRATCH = "/root/repo/.scratch"
+
+
+@pytest.fixture()
+def workdir():
+    d = os.path.join(SCRATCH, f"t_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def stream_pdf():
+    return token_stream_pdf(2000, seed=42)
+
+
+def assignments_map(df):
+    rows = df.select("seq", "bucket_id").collect()
+    return {r.seq: r.bucket_id for r in rows}
+
+
+class TestTrieStream:
+    def test_incremental_equals_batch(self, spark, workdir, stream_pdf):
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=5)
+        job = TrieStreamJob(
+            os.path.join(workdir, "sink"),
+            os.path.join(workdir, "state"),
+            mode="token",
+            page_size=20,
+            max_depth=6,
+        )
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        q = job.start(stream, os.path.join(workdir, "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+
+        got = assignments_map(job.sink.read_all(spark))
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        res = token_prefix_trie(batch_df, "tokens", page_size=20, max_depth=6)
+        want = assignments_map(res.assignments)
+        assert got == want
+        for p in res.persisted:
+            p.unpersist()
+
+    def test_batch_replay_is_idempotent(self, spark, workdir, stream_pdf):
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf.iloc[:500], chunk_dir, n_chunks=2)
+        job = TrieStreamJob(
+            os.path.join(workdir, "sink"),
+            os.path.join(workdir, "state"),
+            mode="token",
+            page_size=20,
+            max_depth=6,
+        )
+        b0 = spark.createDataFrame(stream_pdf.iloc[:250], TOKEN_STREAM_SCHEMA)
+        b1 = spark.createDataFrame(stream_pdf.iloc[250:500], TOKEN_STREAM_SCHEMA)
+        job.process_batch(b0, 0)
+        job.process_batch(b1, 1)
+        once = assignments_map(job.sink.read_all(spark))
+        job.process_batch(b1, 1)  # replay after "crash before offsets commit"
+        twice = assignments_map(job.sink.read_all(spark))
+        assert once == twice
+        assert job.sink.read_all(spark).count() == 500
+
+    def test_resume_from_checkpoint(self, spark, workdir, stream_pdf):
+        chunk_dir = os.path.join(workdir, "chunks")
+        ckpt = os.path.join(workdir, "ckpt")
+        # phase 1: only the first 3 of 5 chunks exist
+        first = stream_pdf.iloc[:1200]
+        rest = stream_pdf.iloc[1200:]
+        stage_chunks(first, chunk_dir, n_chunks=3)
+        job = TrieStreamJob(
+            os.path.join(workdir, "sink"),
+            os.path.join(workdir, "state"),
+            mode="token",
+            page_size=20,
+            max_depth=6,
+        )
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        q = job.start(stream, ckpt)
+        q.processAllAvailable()
+        q.stop()  # "kill" mid-stream
+
+        # phase 2: the remaining rows land; restart from the same checkpoint
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(rest, preserve_index=False),
+            os.path.join(chunk_dir, "chunk_99990.parquet"),
+        )
+        stream2 = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        q2 = job.start(stream2, ckpt)
+        q2.processAllAvailable()
+        q2.stop()
+
+        got = assignments_map(job.sink.read_all(spark))
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        res = token_prefix_trie(batch_df, "tokens", page_size=20, max_depth=6)
+        want = assignments_map(res.assignments)
+        assert got == want
+        for p in res.persisted:
+            p.unpersist()
+
+
+class TestSubjectPageStream:
+    def test_keyed_state_matches_batch(self, spark, workdir, stream_pdf):
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=4)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        staged = subject_page_stream(stream, "doc_id", salt="s0")
+
+        out_dir = os.path.join(workdir, "stage1")
+        q = (
+            staged.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt1"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got_df = spark.read.parquet(out_dir)
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        want = subject_page(batch_df, "doc_id", salt="s0").assignments
+        got_map = assignments_map(got_df)
+        want_map = assignments_map(want)
+        assert got_map == want_map
+
+        # exactly one is_first per bucket, and it carries the smallest seq
+        firsts = got_df.where("is_first").groupBy("bucket_id").count()
+        assert firsts.where("count > 1").count() == 0
+        mins = got_df.groupBy("bucket_id").agg(F.min("seq").alias("lo"))
+        joined = (
+            got_df.where("is_first")
+            .select("bucket_id", "seq")
+            .join(mins, "bucket_id")
+        )
+        assert joined.where("seq <> lo").count() == 0
+
+    def test_rotation_stream_matches_batch(self, spark, workdir, stream_pdf):
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=4)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        staged = subject_page_stream(stream, "doc_id", salt="s0")
+        out_dir = os.path.join(workdir, "stage1")
+        q = (
+            staged.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt1"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        # stage 2: stream the staged first-seen rows through rotation state
+        schema = spark.read.parquet(out_dir).schema
+        stage2_in = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(out_dir)
+        )
+        rot = rotation_stream(stage2_in, max_relations=10)
+        out2 = os.path.join(workdir, "stage2")
+        q2 = (
+            rot.writeStream.format("parquet")
+            .option("path", out2)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt2"))
+            .outputMode("append")
+            .start()
+        )
+        q2.processAllAvailable()
+        q2.stop()
+
+        got = spark.read.parquet(out2)
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        want = subject_page(batch_df, "doc_id", salt="s0", max_relations=10)
+        got_rels = {
+            (r.from_bucket, r.relation_type, r.to_bucket, r.value)
+            for r in got.collect()
+        }
+        want_rels = {
+            (
+                r.from_bucket,
+                r.relation_type,
+                r.to_bucket,
+                (r["values"] or [None])[0],
+            )
+            for r in want.relations.collect()
+        }
+        assert got_rels == want_rels
+        got_seals = sorted(
+            r.seal for r in got.where("seal is not null").collect()
+        )
+        want_seals = sorted(r.bucket_id for r in want.seals.collect())
+        assert got_seals == want_seals
+
+
+class TestWatermarkSealing:
+    def test_sealed_windows_match_batch_and_tail_unsealed(
+        self, spark, workdir, stream_pdf
+    ):
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=4)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=2)
+        seals = tumbling_seal_stream(
+            stream, "event_time", "10 minutes", watermark="5 minutes"
+        )
+        out = os.path.join(workdir, "seals")
+        q = (
+            seals.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        sealed = {
+            r.bucket_id: r.n_members for r in spark.read.parquet(out).collect()
+        }
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        want = {
+            r.bucket_id: r.n
+            for r in batch_df.groupBy(
+                F.date_format(
+                    F.window("event_time", "10 minutes")["start"],
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("bucket_id")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # every sealed bucket matches the batch count exactly
+        assert sealed
+        for k, v in sealed.items():
+            assert want[k] == v
+        # the stream tail (inside the final watermark) is still unsealed
+        assert len(sealed) < len(want)

@@ -1,0 +1,147 @@
+"""Scaling-efficiency evidence (BASELINE.md contract): run the identical
+end-to-end streaming-bucketizer pipeline at two parallelism levels —
+local[8] and local[32] — on the same deterministic synthetic token stream,
+and report sequences/sec + tokens/sec at both plus efficiency
+(T_small/T_big)/(32/8) ... i.e. (throughput_32/throughput_8)/4, the
+cores-proxy for the north_rule's N → 4N executors criterion.
+
+Each level runs in a FRESH subprocess (own JVM) so no executor warm-up or
+cache leaks between levels. The measured job is the token-prefix trie
+cascade + tumbling window aggregation + subject-page assignment over the
+full stream — the engine's three north-star strategies end-to-end,
+writing to the idempotent sink.
+
+Usage: python tools/bench_scaling.py [n_rows] — writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA_DIR = os.path.join(REPO, ".scratch", "bench_stream")
+
+WORKER = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from bucketizers_spark.plans.session import get_spark
+from pyspark.sql import functions as F
+from bucketizers_spark.operators.substring import token_prefix_trie
+from bucketizers_spark.operators.subject_page import subject_page
+
+cores = int(sys.argv[1])
+data = sys.argv[2]
+spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(data)
+n_rows = df.count()
+n_tok = df.agg(F.sum("n_tok")).collect()[0][0]
+
+t0 = time.time()
+res = token_prefix_trie(df, "tokens", page_size=200, max_depth=6)
+a1 = res.assignments.count()
+r1 = res.relations.count()
+tum = (df.groupBy(F.window("event_time", "10 minutes")).agg(
+    F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok")).count())
+sp = subject_page(df, "doc_id", salt="s0", max_relations=1000)
+a2 = sp.assignments.count()
+r2 = sp.relations.count()
+dt = time.time() - t0
+for p in res.persisted:
+    p.unpersist()
+print(json.dumps(dict(cores=cores, rows=n_rows, tokens=int(n_tok), secs=dt,
+                      rows_per_sec=n_rows/dt, tokens_per_sec=n_tok/dt,
+                      outputs=[a1, r1, tum, a2, r2])))
+spark.stop()
+"""
+
+
+def ensure_data(n_rows: int) -> str:
+    path = os.path.join(DATA_DIR, f"n{n_rows}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(DATA_DIR, exist_ok=True)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sys.path.insert(0, REPO)
+        from bucketizers_spark.sources.synthetic import token_stream_pdf
+
+        pdf = token_stream_pdf(n_rows, seed=42)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), path,
+            row_group_size=50_000,
+        )
+    return path
+
+
+def run_level(cores: int, data: str) -> dict:
+    script = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), data],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    data = ensure_data(n_rows)
+    results = {}
+    for cores in (8, 32):
+        t0 = time.time()
+        results[cores] = run_level(cores, data)
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+        print(f"  (subprocess wall {time.time()-t0:.0f}s)", file=sys.stderr)
+    assert results[8]["outputs"] == results[32]["outputs"], (
+        "parallelism changed results!", results)
+    eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / 4.0
+    summary = {
+        "n_rows": n_rows,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+    write_md(summary)
+
+
+def write_md(s: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    r8, r32 = s["local8"], s["local32"]
+    md = f"""# BENCH/BASELINE — scaling-efficiency evidence
+
+North_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. Sandbox proxy (no multi-node cluster available): the identical
+job at local[8] vs local[32], fresh JVM each, same input, fixed
+spark.sql.shuffle.partitions = cores.
+
+Measured job: token-prefix trie cascade (page_size 200, depth 6) +
+10-minute tumbling window aggregation + subject-page assignment/relations
+over the deterministic synthetic token stream (seed 42,
+{s['n_rows']:,} sequences; FIXTURES.md F1). Outputs verified identical
+across parallelism levels.
+
+| level | wall s | sequences/s | tokens/s |
+|---|---|---|---|
+| local[8]  | {r8['secs']:.1f} | {r8['rows_per_sec']:,.0f} | {r8['tokens_per_sec']:,.0f} |
+| local[32] | {r32['secs']:.1f} | {r32['rows_per_sec']:,.0f} | {r32['tokens_per_sec']:,.0f} |
+
+**Scaling efficiency (4x cores): {s['scaling_efficiency']:.3f}**
+(= (throughput_32 / throughput_8) / 4; target >= 0.8)
+
+Reproduce: `python tools/bench_scaling.py {s['n_rows']}`
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()
