@@ -74,11 +74,13 @@ class _Chain:
         node: Callable[[int], Column],  # level L≥1 → node name column
         parent: Callable[[int], Column],  # level L≥2 → parent node name
         sep: str,
+        parent_of: Callable[[Column], Column],  # node name → parent name
     ):
         self.prepare = prepare  # adds _v-ish cols + _m (chain length) + _multi
         self.node = node
         self.parent = parent
         self.sep = sep
+        self.parent_of = parent_of
 
 
 def _char_chain(value_col: str, ascii_fast: bool) -> _Chain:
@@ -115,7 +117,12 @@ def _char_chain(value_col: str, ascii_fast: bool) -> _Chain:
             F.lit(1), F.element_at(F.col("_npos"), level - 1)
         )
 
-    return _Chain(prepare, node, parent, "+")
+    def parent_of(node_col: Column) -> Column:
+        # drop the last char; a trailing '+' is never a node → drop it too
+        trimmed = node_col.substr(F.lit(1), F.length(node_col) - 1)
+        return F.regexp_replace(trimmed, r"\+$", "")
+
+    return _Chain(prepare, node, parent, "+", parent_of)
 
 
 def _token_chain(tokens_col: str, max_depth: int) -> _Chain:
@@ -139,7 +146,14 @@ def _token_chain(tokens_col: str, max_depth: int) -> _Chain:
     def parent(level: int) -> Column:
         return F.concat_ws("-", F.slice(F.col(tokens_col), 1, level - 1))
 
-    return _Chain(prepare, node, parent, "-")
+    def parent_of(node_col: Column) -> Column:
+        # drop the last dash-separated token
+        return F.when(
+            node_col.contains("-"),
+            F.regexp_replace(node_col, r"-[^-]*$", ""),
+        ).otherwise(F.lit(""))
+
+    return _Chain(prepare, node, parent, "-", parent_of)
 
 
 def _run_cascade(
@@ -152,6 +166,7 @@ def _run_cascade(
     max_depth: int,
     node_state: DataFrame | None = None,
     emit_counter_updates: bool = False,
+    salt_buckets: int = 0,
 ) -> BucketizeResult:
     """Run the cascade; ``node_state`` (node string, cnt long) carries trie
     counters from previous micro-batches for the incremental streaming path
@@ -234,52 +249,138 @@ def _run_cascade(
         lvl = remaining.withColumn("_node", chain.node(level)).withColumn(
             "_terminal", F.col("_m") == level
         )
-        if state is not None:
-            lvl = lvl.join(
-                F.broadcast(state), lvl["_node"] == state["_st_node"], "left"
-            ).drop("_st_node")
-        else:
-            lvl = lvl.withColumn("_st_cnt", F.lit(None).cast("long"))
-        w = Window.partitionBy("_node").orderBy(seq_col)
-        wfull = Window.partitionBy("_node")
-        step = (
-            lvl.withColumn("_rn", F.row_number().over(w))
-            .withColumn(
-                "_ntrank",
-                F.sum(F.when(~F.col("_terminal"), 1).otherwise(0)).over(
-                    w.rowsBetween(Window.unboundedPreceding, 0)
-                ),
+        if salt_buckets <= 0:
+            # ---- window path: per-node seq sort. Exact, single shuffle per
+            # level; a pathologically hot node lands in one task — use the
+            # salted path when that bites.
+            if state is not None:
+                lvl = lvl.join(
+                    F.broadcast(state), lvl["_node"] == state["_st_node"], "left"
+                ).drop("_st_node")
+            else:
+                lvl = lvl.withColumn("_st_cnt", F.lit(None).cast("long"))
+            w = Window.partitionBy("_node").orderBy(seq_col)
+            wfull = Window.partitionBy("_node")
+            step = (
+                lvl.withColumn("_rn", F.row_number().over(w))
+                .withColumn(
+                    "_ntrank",
+                    F.sum(F.when(~F.col("_terminal"), 1).otherwise(0)).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                )
             )
-        )
-        step = step.withColumn(
-            "_first_nt",
-            F.max(
-                F.when(F.col("_rn") == 1, (~F.col("_terminal")).cast("int"))
-            ).over(wfull),
-        ).persist()
-        persisted.append(step)
+            # localCheckpoint (eager) truncates the per-level lineage —
+            # without it the level-over-level plan (esp. the salted path's
+            # self-join) grows exponentially and OOMs the planner
+            step = step.withColumn(
+                "_first_nt",
+                F.max(
+                    F.when(F.col("_rn") == 1, (~F.col("_terminal")).cast("int"))
+                ).over(wfull),
+            ).localCheckpoint()
 
-        exists = F.col("_st_cnt").isNotNull()
-        # capacity available to non-terminal arrivals this batch:
-        # - existing node: page_size - carried count (no creation slot)
-        # - fresh node: creation takes 1 slot — by the first arrival,
-        #   whether it is non-terminal (counts toward page_size) or
-        #   terminal (leaves page_size - 1 for non-terminals)
-        cap_nt = F.when(
-            exists, F.greatest(F.lit(page_size) - F.col("_st_cnt"), F.lit(0))
-        ).otherwise(
-            F.when(F.col("_first_nt") == 1, F.lit(page_size)).otherwise(
-                F.lit(page_size - 1)
+            exists = F.col("_st_cnt").isNotNull()
+            # capacity available to non-terminal arrivals this batch:
+            # - existing node: page_size - carried count (no creation slot)
+            # - fresh node: creation takes 1 slot — by the first arrival,
+            #   whether it is non-terminal (counts toward page_size) or
+            #   terminal (leaves page_size - 1 for non-terminals)
+            cap_nt = F.when(
+                exists, F.greatest(F.lit(page_size) - F.col("_st_cnt"), F.lit(0))
+            ).otherwise(
+                F.when(F.col("_first_nt") == 1, F.lit(page_size)).otherwise(
+                    F.lit(page_size - 1)
+                )
             )
-        )
-        placed_nt = ~F.col("_terminal") & (F.col("_ntrank") <= cap_nt)
+            placed_nt = ~F.col("_terminal") & (F.col("_ntrank") <= cap_nt)
+            is_first = F.col("_rn") == 1
+            relation_parent = (
+                F.lit(root) if level == 1 else chain.parent(level)
+            )
+        else:
+            # ---- salted path (north_rule skew defusal): capacity placement
+            # only needs each node's cap-th smallest NT seq. Phase A sorts
+            # within (node, salt) groups — a hot node's rows are split over
+            # salt_buckets tasks, each contributing at most page_size
+            # candidate seqs; phase B merges ≤ salt_buckets·page_size values
+            # per node. No per-node total sort anywhere.
+            salted = lvl.withColumn(
+                "_salt", F.pmod(F.hash(F.col(seq_col)), F.lit(salt_buckets))
+            )
+            nt_seq = F.when(~F.col("_terminal"), F.col(seq_col))
+            phase_a = salted.groupBy("_node", "_salt").agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(nt_seq)
+                    ),
+                    1,
+                    page_size,
+                ).alias("_cand"),
+                F.min(seq_col).alias("_lmin"),
+                F.min_by("_terminal", F.col(seq_col)).alias("_lterm"),
+                F.sum((~F.col("_terminal")).cast("long")).alias("_lnt"),
+            )
+            phase_b = phase_a.groupBy("_node").agg(
+                F.array_sort(F.flatten(F.collect_list("_cand"))).alias("_merged"),
+                F.min("_lmin").alias("_min_seq"),
+                F.min_by("_lterm", F.col("_lmin")).alias("_first_term"),
+                F.sum("_lnt").alias("_nt_total"),
+            )
+            if state is not None:
+                phase_b = phase_b.join(
+                    state, phase_b["_node"] == state["_st_node"], "left"
+                ).drop("_st_node")
+            else:
+                phase_b = phase_b.withColumn(
+                    "_st_cnt", F.lit(None).cast("long")
+                )
+            node_exists = F.col("_st_cnt").isNotNull()
+            agg_cap = F.when(
+                node_exists,
+                F.greatest(F.lit(page_size) - F.col("_st_cnt"), F.lit(0)),
+            ).otherwise(
+                F.when(~F.col("_first_term"), F.lit(page_size)).otherwise(
+                    F.lit(page_size - 1)
+                )
+            )
+            node_aggs = phase_b.select(
+                "_node",
+                "_min_seq",
+                "_first_term",
+                "_nt_total",
+                "_st_cnt",
+                agg_cap.alias("_cap_nt"),
+                F.when(
+                    agg_cap <= 0, F.lit(-1)
+                )
+                .when(
+                    agg_cap >= F.size("_merged"),
+                    F.lit(None).cast("long"),  # all NTs fit
+                )
+                .otherwise(F.element_at("_merged", agg_cap.cast("int")))
+                .alias("_nt_thr"),
+            )
+
+            step = lvl.join(node_aggs, "_node").localCheckpoint()
+            exists = F.col("_st_cnt").isNotNull()
+            placed_nt = ~F.col("_terminal") & (
+                F.col("_nt_thr").isNull()
+                | (F.col(seq_col) <= F.col("_nt_thr"))
+            )
+            is_first = F.col(seq_col) == F.col("_min_seq")
+            raw_parent = chain.parent_of(F.col("_node"))
+            relation_parent = F.when(raw_parent == "", F.lit(root)).otherwise(
+                raw_parent
+            )
+
         # terminal arrivals: on a fresh node the first one creates+counts;
         # all later single-word terminals are assigned uncounted
         # (SubstringBucketizer.ts:88-93) and later multi-word terminals get
         # NO bucket (ts:80-86). On an existing node no arrival creates.
         term_assigned = F.col("_terminal") & (
             F.when(exists, ~F.col("_multi")).otherwise(
-                (F.col("_rn") == 1) | ~F.col("_multi")
+                is_first | ~F.col("_multi")
             )
         )
         term_null = F.col("_terminal") & ~term_assigned
@@ -292,11 +393,10 @@ def _run_cascade(
                 .alias("bucket_id"),
             )
         )
-        parent_col = F.lit(root) if level == 1 else chain.parent(level)
         relation_parts.append(
-            step.where((F.col("_rn") == 1) & ~exists).select(
+            step.where(is_first & ~exists).select(
                 *relation_row(
-                    parent_col,
+                    relation_parent,
                     "Substring",
                     F.col("_node"),
                     values=F.split(F.col("_node"), f"[{chain.sep}]"),
@@ -305,9 +405,7 @@ def _run_cascade(
             )
         )
         if emit_counter_updates:
-            counted = placed_nt | (
-                ~exists & (F.col("_rn") == 1) & F.col("_terminal")
-            )
+            counted = placed_nt | (~exists & is_first & F.col("_terminal"))
             counter_parts.append(
                 step.groupBy("_node")
                 .agg(
@@ -318,9 +416,13 @@ def _run_cascade(
                 )
                 .select(F.col("_node").alias("node"), "cnt")
             )
-        remaining = step.where(~F.col("_terminal") & ~placed_nt).drop(
-            "_node", "_terminal", "_rn", "_ntrank", "_first_nt", "_st_cnt"
-        )
+        drop_cols = [
+            c
+            for c in step.columns
+            if c.startswith("_")
+            and c not in ("_v", "_npos", "_m", "_multi")
+        ]
+        remaining = step.where(~F.col("_terminal") & ~placed_nt).drop(*drop_cols)
         if remaining.isEmpty():
             break
 
@@ -358,6 +460,7 @@ def substring_trie(
     ascii_fast: bool = True,
     node_state: DataFrame | None = None,
     emit_counter_updates: bool = False,
+    salt_buckets: int = 0,
 ) -> BucketizeResult:
     """Character-mode substring trie (reference-exact)."""
     return _run_cascade(
@@ -369,6 +472,7 @@ def substring_trie(
         max_depth=max_depth,
         node_state=node_state,
         emit_counter_updates=emit_counter_updates,
+        salt_buckets=salt_buckets,
     )
 
 
@@ -382,6 +486,7 @@ def token_prefix_trie(
     max_depth: int = 8,
     node_state: DataFrame | None = None,
     emit_counter_updates: bool = False,
+    salt_buckets: int = 0,
 ) -> BucketizeResult:
     """Token-mode radix trie over leading n-grams (the north-star payload:
     pre-tokenized sequences). Same cascade, chain keys are dash-joined
@@ -395,4 +500,5 @@ def token_prefix_trie(
         max_depth=max_depth,
         node_state=node_state,
         emit_counter_updates=emit_counter_updates,
+        salt_buckets=salt_buckets,
     )

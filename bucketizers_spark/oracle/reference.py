@@ -357,3 +357,105 @@ class SubjectPageOracle(_OracleBase):
         self.root_count = state["root_count"]
         self.max_relations = state["max_relations"]
         self.salt = state["salt"]
+
+
+def _tile_x(lon: int, zoom: int) -> int:
+    import math
+
+    return math.floor((lon + 180) / 360 * 2**zoom)
+
+
+def _tile_y(lat: int, zoom: int) -> int:
+    import math
+
+    rad = lat * math.pi / 180
+    return math.floor(
+        (1 - math.log(math.tan(rad) + 1 / math.cos(rad)) / math.pi) / 2 * 2**zoom
+    )
+
+
+def tile_bbox_wkt(x: int, y: int, zoom: int) -> str:
+    """Tile bounding-box polygon (web-mercator slippy bounds). Same geometry
+    as the reference's slippy-bbox + turf.bboxPolygon chain
+    (SlippyMaps.ts:52-57); our own deterministic formatting."""
+    import math
+
+    n = 2**zoom
+    west = x / n * 360.0 - 180.0
+    east = (x + 1) / n * 360.0 - 180.0
+
+    def lat_of(yy: int) -> float:
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * yy / n))))
+
+    north = lat_of(y)
+    south = lat_of(y + 1)
+    pts = [(west, south), (east, south), (east, north), (west, north), (west, south)]
+    coords = ", ".join(f"{a:.6f} {b:.6f}" for a, b in pts)
+    return f"POLYGON (({coords}))"
+
+
+def wkt_coords(value: str) -> list[tuple[float, float]]:
+    """Extract (lon, lat) pairs from a WKT literal; strips a leading
+    '<CRS>' prefix (SlippyMaps.ts:66-71)."""
+    v = value.strip()
+    if v.startswith("<"):
+        v = v[v.index(">") + 1 :].strip()
+    pairs = re.findall(r"(-?[\d.]+)\s+(-?[\d.]+)", v)
+    return [(float(a), float(b)) for a, b in pairs]
+
+
+class GeospatialOracle(_OracleBase):
+    """Slippy-tile quadtree pager (GeospatialBucketizer.ts:58-114,
+    SlippyMaps.ts). Coordinates are parseInt-truncated to integer degrees
+    (SlippyMaps.ts:24-25 — the deliberate quirk, preserved). Values that are
+    not WKT raise → fallback (SlippyMaps.ts:44-49)."""
+
+    def __init__(self, page_size: int = 50, root: str = "root", zoom: int = 4):
+        super().__init__(page_size=page_size, root=root)
+        self.zoom = zoom
+        self.tiles: dict[str, list[int]] = {}  # tile path -> [page, counter]
+        self._controls(self.root, create=True)
+
+    def _create_buckets(self, values, new_relations, immutables):
+        buckets: list[str] = []
+        for value in values:
+            if value.startswith("ERR:") or not wkt_coords(value):
+                # stand-in for "datatype not wkt" → createBuckets throws
+                raise ValueError("geospatial datatype not supported")
+            # distinct tiles in first-seen order (tilesMap, SlippyMaps.ts:20-37)
+            tiles: list[tuple[int, int]] = []
+            for lon, lat in wkt_coords(value):
+                t = (_tile_x(int(lon), self.zoom), _tile_y(int(lat), self.zoom))
+                if t not in tiles:
+                    tiles.append(t)
+            for x, y in tiles:
+                leaf = f"{self.zoom}/{x}/{y}"
+                column = f"{self.zoom}/{x}"
+                bbox = tile_bbox_wkt(x, y, self.zoom)
+                if leaf in self.tiles:
+                    meta = self.tiles[leaf]
+                    if meta[1] == self.page_size:
+                        meta[0] += 1
+                        meta[1] = 0
+                        rel = Relation(
+                            column, REL_GEO, f"{leaf}-{meta[0]}", (bbox,)
+                        )
+                        new_relations.append(rel)
+                        self._add_control(column, rel)
+                else:
+                    meta = [0, 0]
+                    self.tiles[leaf] = meta
+                    rel = Relation(column, REL_GEO, f"{leaf}-0", (bbox,))
+                    new_relations.append(rel)
+                    self._add_control(column, rel)
+                    # root → column once, with the FIRST tile's bbox (later
+                    # tiles merge polygons in-place without re-emitting,
+                    # GeospatialBucketizer.ts:82-104)
+                    root_controls = self._controls(self.root, create=True)
+                    if all(r.to_bucket != column for r in root_controls):
+                        root_rel = Relation(self.root, REL_GEO, column, (bbox,))
+                        new_relations.append(root_rel)
+                        self._add_control(self.root, root_rel)
+                buckets.append(f"{leaf}-{meta[0]}")
+                meta[1] += 1
+        return buckets

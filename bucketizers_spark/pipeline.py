@@ -1,0 +1,168 @@
+"""Factory / registry (O10) + JSON job-spec front door (O12): build a
+configured batch bucketizer pipeline from a JobSpec.
+
+Reference analogs:
+- FactoryBuilder.build / type dispatch:
+  /root/reference/packages/bucketizer-core/lib/BucketizerFactories.ts:15-72
+- createBucketizer / createBucketizerLD entry points:
+  /root/reference/packages/bucketizers/lib/bucketizers.ts:15-17, 48-55
+- Turtle/file config loading (bucketizers.ts:19-24) maps to the JSON/dict
+  spec (config.spec_from_dict); SHACL validation is config.validate_spec.
+
+Each builder takes (DataFrame, JobSpec) → BucketizeResult. The ``multi``
+strategy chains stages with parent-prefixed bucket ids
+(MultiBucketizer.ts:123-141), restricted here to compositions whose child
+stages are per-parent pagers (the general chained-strategy case runs via
+streaming stage chaining).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bucketizers_spark.config import JobSpec, spec_from_dict
+from bucketizers_spark.operators import (
+    basic_pager,
+    fallback_pager,
+    session_bucketizer,
+    sliding_bucketizer,
+    subject_page,
+    substring_trie,
+    tumbling_bucketizer,
+)
+from bucketizers_spark.operators.core import BucketizeResult
+from bucketizers_spark.operators.multi import paged_within_parent
+from bucketizers_spark.operators.substring import token_prefix_trie
+
+
+def _build_basic(df: DataFrame, spec: JobSpec) -> BucketizeResult:
+    return basic_pager(df, page_size=spec.page_size)
+
+
+def _build_substring(df: DataFrame, spec: JobSpec) -> BucketizeResult:
+    if spec.token_mode:
+        return token_prefix_trie(
+            df,
+            spec.column or "tokens",
+            page_size=spec.page_size,
+            root=spec.root,
+            max_depth=spec.max_depth,
+        )
+    return substring_trie(
+        df,
+        spec.column,
+        page_size=spec.page_size,
+        root=spec.root,
+        max_depth=spec.max_depth,
+    )
+
+
+def _build_subject(df: DataFrame, spec: JobSpec) -> BucketizeResult:
+    return subject_page(
+        df,
+        spec.column,
+        salt=spec.salt,
+        max_relations=spec.max_relations,
+        root=spec.root,
+        property_path=spec.property_path,
+    )
+
+
+def _build_time(df: DataFrame, spec: JobSpec) -> BucketizeResult:
+    win = spec.window
+    col = spec.column or "event_time"
+    if win.kind == "tumbling":
+        return tumbling_bucketizer(df, col, win.duration)
+    if win.kind == "sliding":
+        return sliding_bucketizer(df, col, win.duration, win.slide or win.duration)
+    # session windows return an aggregate frame; wrap as assignments-like
+    agg = session_bucketizer(df, col, win.gap)
+    res = BucketizeResult(
+        agg.withColumn("bucket_id", F.col("session_start")),
+        df.sparkSession.createDataFrame(
+            [],
+            "from_bucket string, relation_type string, to_bucket string, "
+            "values array<string>, path string, created_at_seq long",
+        ),
+        df.sparkSession.createDataFrame(
+            [], "bucket_id string, sealed_at_seq long"
+        ),
+    )
+    return res
+
+
+def _build_geospatial(df: DataFrame, spec: JobSpec) -> BucketizeResult:
+    from bucketizers_spark.operators.geospatial import geospatial_tiles
+
+    return geospatial_tiles(
+        df,
+        spec.column,
+        zoom=spec.zoom,
+        page_size=spec.page_size,
+        root=spec.root,
+    )
+
+
+def _build_multi(df: DataFrame, spec: JobSpec) -> BucketizeResult:
+    head, *rest = spec.configs
+    result = build(df, head)
+    for k, sub in enumerate(rest):
+        staged = result.assignments.withColumnRenamed("bucket_id", f"_p{k}")
+        if sub.strategy != "basic":
+            raise NotImplementedError(
+                "batch multi currently composes basic-pager children "
+                "(per-parent instances); other child strategies run via "
+                "streaming stage chaining"
+            )
+        nxt = paged_within_parent(staged, f"_p{k}", page_size=sub.page_size)
+        result = BucketizeResult(
+            nxt.assignments.drop(f"_p{k}"),
+            result.relations.unionByName(nxt.relations),
+            result.seals.unionByName(nxt.seals),
+        )
+    return result
+
+
+BUCKETIZERS = {
+    "basic": _build_basic,
+    "substring": _build_substring,
+    "subject": _build_subject,
+    "time": _build_time,
+    "geospatial": _build_geospatial,
+    "multi": _build_multi,
+}
+
+
+def build(df: DataFrame, spec: JobSpec | dict) -> BucketizeResult:
+    """The createBucketizer front door: dispatch on validated strategy."""
+    if isinstance(spec, dict):
+        spec = spec_from_dict(spec)
+    try:
+        builder = BUCKETIZERS[spec.strategy]
+    except KeyError:  # geospatial batch op ships as geo_tile query for now
+        raise NotImplementedError(f"strategy {spec.strategy!r}")
+    return builder(df, spec)
+
+
+def route_with_fallback(
+    df: DataFrame, spec: JobSpec | dict
+) -> BucketizeResult:
+    """O1 dispatch incl. the zero-match fallback: rows whose property column
+    is NULL go through the bucketless pager (BucketizerCore.ts:294-309),
+    the rest through the strategy."""
+    if isinstance(spec, dict):
+        spec = spec_from_dict(spec)
+    if not spec.column:
+        return build(df, spec)
+    matched = df.where(F.col(spec.column).isNotNull())
+    unmatched = df.where(F.col(spec.column).isNull())
+    main = build(matched, spec)
+    fb = fallback_pager(
+        unmatched, page_size=spec.page_size, root=spec.root
+    )
+    return BucketizeResult(
+        main.assignments.unionByName(fb.assignments),
+        main.relations.unionByName(fb.relations),
+        main.seals,
+    )

@@ -23,18 +23,30 @@ import pyarrow.parquet as pq
 from bucketizers_spark.sources.synthetic import TOKEN_STREAM_SCHEMA
 
 
-def stage_chunks(pdf: pd.DataFrame, out_dir: str, n_chunks: int) -> list[str]:
-    """Split a seq-ordered pandas frame into n ordered parquet chunk files."""
+def stage_chunks(
+    pdf: pd.DataFrame, out_dir: str, n_chunks: int, start_index: int = 0
+) -> list[str]:
+    """Split a seq-ordered pandas frame into n ordered parquet chunk files.
+    ``start_index`` offsets the file numbering (for staging later arrivals
+    behind an already-consumed prefix)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     n = len(pdf)
     per = (n + n_chunks - 1) // n_chunks
-    for k in range(n_chunks):
-        part = pdf.iloc[k * per : (k + 1) * per]
+    for j in range(n_chunks):
+        k = start_index + j
+        part = pdf.iloc[j * per : (j + 1) * per]
         if part.empty:
             continue
         path = os.path.join(out_dir, f"chunk_{k:05d}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        # pandas timestamps are ns-precision; Spark's vectorized parquet
+        # reader wants us — coerce at write time
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            path,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
         paths.append(path)
     return paths
 

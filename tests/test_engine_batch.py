@@ -203,3 +203,91 @@ class TestTokenTrieEquivalence:
         assert collect_assignments(res.assignments) == exp_tok
         for p in res.persisted:
             p.unpersist()
+
+
+class TestSaltedCascade:
+    def test_salted_equals_window_path(self, spark, name_values):
+        df = members_df(spark, name_values)
+        a = substring_trie(df, "value", page_size=2)
+        b = substring_trie(df, "value", page_size=2, salt_buckets=4)
+        assert collect_assignments(a.assignments) == collect_assignments(
+            b.assignments
+        )
+        assert rel_set(a.relations) == rel_set(b.relations)
+        for r in (a, b):
+            for p in r.persisted:
+                p.unpersist()
+
+    def test_salted_token_trie_matches_oracle_fixture(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        toks = [
+            np.minimum(rng.zipf(1.3, size=int(ln)), 12).astype(int).tolist()
+            for ln in rng.integers(1, 5, size=400)
+        ]
+        rows = [(i, f"m{i}", t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(
+            rows, "seq long, member_id string, tokens array<int>"
+        )
+        a = token_prefix_trie(df, "tokens", page_size=5, max_depth=6)
+        b = token_prefix_trie(
+            df, "tokens", page_size=5, max_depth=6, salt_buckets=8
+        )
+        assert collect_assignments(a.assignments) == collect_assignments(
+            b.assignments
+        )
+        for r in (a, b):
+            for p in r.persisted:
+                p.unpersist()
+
+
+class TestGeospatialEquivalence:
+    def test_matches_oracle_and_reference_pins(self, spark):
+        from bucketizers_spark.operators.geospatial import geospatial_tiles
+        from bucketizers_spark.oracle.reference import GeospatialOracle
+
+        rng = np.random.default_rng(9)
+        values = []
+        for i in range(200):
+            lon = rng.uniform(2.0, 6.0)
+            lat = rng.uniform(49.0, 52.0)
+            if i % 7 == 0:
+                # multi-point geometry spanning tiles
+                values.append(
+                    f"MULTIPOINT (({lon} {lat}), ({lon + 3} {lat - 1}))"
+                )
+            elif i % 11 == 0:
+                values.append(
+                    f"<http://www.opengis.net/def/crs/OGC/1.3/CRS84> POINT ({lon} {lat})"
+                )
+            else:
+                values.append(f"POINT ({lon} {lat})")
+        df = members_df(spark, values)
+        res = geospatial_tiles(df, "value", zoom=4, page_size=3)
+        oracle = GeospatialOracle(page_size=3, zoom=4)
+        exp, orels, _ = oracle_assignments(oracle, values)
+        got = collect_assignments(res.assignments)
+        # oracle may assign the same bucket twice for a member (two points
+        # in one tile-page) — engine keeps those rows too
+        assert got == {k: v for k, v in exp.items()}
+        assert rel_set(res.relations) == oracle_rel_set(orels)
+
+    def test_reference_pins_pagesize_1(self, spark):
+        # GeospatialBucketizer.test.ts:199-235 — two Belgian points at
+        # pageSize 1 land in 4/8/5-0 and 4/8/5-1
+        from bucketizers_spark.operators.geospatial import geospatial_tiles
+
+        df = members_df(
+            spark,
+            [
+                "POINT (3.1516329600511916 51.08919224082551)",
+                "POINT (4.777609522551192 50.784567520377436)",
+                "garbage-not-wkt",
+            ],
+        )
+        res = geospatial_tiles(df, "value", zoom=4, page_size=1)
+        got = collect_assignments(res.assignments)
+        assert got["m0"] == ["4/8/5-0"] and got["m1"] == ["4/8/5-1"]
+        assert "m2" not in got
+        assert [r.member_id for r in res.unmatched.collect()] == ["m2"]

@@ -125,3 +125,63 @@ class TestComposition:
         assert got[1] == "B/0" and got[5] == "B/1"
         rels = {(r.from_bucket, r.to_bucket) for r in res.relations.collect()}
         assert ("A/0", "A/1") in rels and ("B/1", "B/2") in rels
+
+
+class TestPipelineFactory:
+    def test_build_dispatch_and_fallback_routing(self, spark):
+        from bucketizers_spark.pipeline import build, route_with_fallback
+
+        rows = [(i, f"m{i}", f"http://x/v{i % 5}" if i % 4 else None) for i in range(40)]
+        df = spark.createDataFrame(rows, "seq long, member_id string, value string")
+        res = route_with_fallback(
+            df, {"strategy": "subject", "column": "value", "salt": "s"}
+        )
+        got = {r.member_id: r.bucket_id for r in res.assignments.collect()}
+        assert got["m1"] == "v1-s"
+        assert got["m0"].startswith("bucketless-")  # i % 4 == 0 → NULL value
+        # multi: subject then per-parent pages
+        res2 = build(
+            df.where("value is not null"),
+            {
+                "strategy": "multi",
+                "configs": [
+                    {"strategy": "subject", "column": "value", "salt": "s"},
+                    {"strategy": "basic", "page_size": 2},
+                ],
+            },
+        )
+        got2 = {r.member_id: r.bucket_id for r in res2.assignments.collect()}
+        assert got2["m1"] == "v1-s/0"
+        pages = {b.rsplit("/", 1)[1] for b in got2.values()}
+        assert "1" in pages  # at least one parent rolled to page 1
+
+
+class TestQuadPath:
+    def test_parse_and_multihop_extract(self, spark):
+        # mirrors core.test.ts:22-64 (path parsing + multi-hop traversal)
+        from bucketizers_spark.functions.quads import (
+            extract_property_path,
+            parse_property_path,
+        )
+
+        assert parse_property_path("(<p1> <p2>)") == ["p1", "p2"]
+        assert parse_property_path("<p1>") == ["p1"]
+        quads = spark.createDataFrame(
+            [
+                ("m1", "m1", "p1", "mid"),
+                ("m1", "mid", "p2", "leaf-a"),
+                ("m1", "mid", "p2", "leaf-b"),  # multi-valued terminal
+                ("m2", "m2", "p1", "other"),  # no p2 hop → no match
+                ("m3", "m3", "px", "nope"),
+            ],
+            "member_id string, subject string, predicate string, object string",
+        )
+        got = extract_property_path(quads, ["p1", "p2"])
+        rows = {(r.member_id, r.value) for r in got.collect()}
+        assert rows == {("m1", "leaf-a"), ("m1", "leaf-b")}
+        # empty path → the member term itself (BucketizerCore.ts:339-341)
+        ids = {
+            r.value
+            for r in extract_property_path(quads, []).collect()
+        }
+        assert ids == {"m1", "m2", "m3"}

@@ -111,13 +111,7 @@ class TestTrieStream:
         q.stop()  # "kill" mid-stream
 
         # phase 2: the remaining rows land; restart from the same checkpoint
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        pq.write_table(
-            pa.Table.from_pandas(rest, preserve_index=False),
-            os.path.join(chunk_dir, "chunk_99990.parquet"),
-        )
+        stage_chunks(rest, chunk_dir, n_chunks=2, start_index=3)
         stream2 = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
         q2 = job.start(stream2, ckpt)
         q2.processAllAvailable()
@@ -174,9 +168,16 @@ class TestSubjectPageStream:
         stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
         staged = subject_page_stream(stream, "doc_id", salt="s0")
         out_dir = os.path.join(workdir, "stage1")
+        os.makedirs(out_dir, exist_ok=True)
+
+        # one file per stage-1 micro-batch so the stage-2 file stream
+        # consumes whole batches in arrival (= seq) order; the rotation
+        # kernel sorts by seq within each trigger
+        def write_stage1(bdf, bid):
+            bdf.coalesce(1).write.mode("append").parquet(out_dir)
+
         q = (
-            staged.writeStream.format("parquet")
-            .option("path", out_dir)
+            staged.writeStream.foreachBatch(write_stage1)
             .option("checkpointLocation", os.path.join(workdir, "ckpt1"))
             .outputMode("append")
             .start()
@@ -188,7 +189,8 @@ class TestSubjectPageStream:
         schema = spark.read.parquet(out_dir).schema
         stage2_in = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
             .parquet(out_dir)
         )
         rot = rotation_stream(stage2_in, max_relations=10)

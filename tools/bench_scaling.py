@@ -74,6 +74,8 @@ def ensure_data(n_rows: int) -> str:
         pq.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False), path,
             row_group_size=50_000,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
         )
     return path
 
