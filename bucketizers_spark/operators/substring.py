@@ -75,12 +75,14 @@ class _Chain:
         parent: Callable[[int], Column],  # level L≥2 → parent node name
         sep: str,
         parent_of: Callable[[Column], Column],  # node name → parent name
+        py_nodes: Callable[[dict], list[str]],  # row dict → [node_1..node_m]
     ):
         self.prepare = prepare  # adds _v-ish cols + _m (chain length) + _multi
         self.node = node
         self.parent = parent
         self.sep = sep
         self.parent_of = parent_of
+        self.py_nodes = py_nodes
 
 
 def _char_chain(value_col: str, ascii_fast: bool) -> _Chain:
@@ -89,7 +91,13 @@ def _char_chain(value_col: str, ascii_fast: bool) -> _Chain:
     def prepare(df: DataFrame) -> DataFrame:
         norm = normalize_substring_col(F.col(value_col), ascii_fast=ascii_fast)
         v = F.translate(norm, " ", "+")
-        df = df.withColumn("_v", v)
+        # MATERIALIZE _v before the per-character lambda below references
+        # it: Catalyst's CollapseProject would otherwise inline the whole
+        # normalize chain into the lambda body, re-running regexp_replace
+        # once per character position (O(len²) regex work per row — 30×
+        # slower measured). localCheckpoint is the projection barrier; the
+        # cascade reuses this frame at every level anyway.
+        df = df.withColumn("_v", v).localCheckpoint()
         # prefix lengths that are valid nodes: positions whose character is
         # not '+' (a prefix ending in '+' is never checked/created).
         # NB: sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so the
@@ -122,7 +130,11 @@ def _char_chain(value_col: str, ascii_fast: bool) -> _Chain:
         trimmed = node_col.substr(F.lit(1), F.length(node_col) - 1)
         return F.regexp_replace(trimmed, r"\+$", "")
 
-    return _Chain(prepare, node, parent, "+", parent_of)
+    def py_nodes(row: dict) -> list[str]:
+        v = row["_v"]
+        return [v[:p] for p in row["_npos"]]
+
+    return _Chain(prepare, node, parent, "+", parent_of, py_nodes)
 
 
 def _token_chain(tokens_col: str, max_depth: int) -> _Chain:
@@ -153,7 +165,99 @@ def _token_chain(tokens_col: str, max_depth: int) -> _Chain:
             F.regexp_replace(node_col, r"-[^-]*$", ""),
         ).otherwise(F.lit(""))
 
-    return _Chain(prepare, node, parent, "-", parent_of)
+    def py_nodes(row: dict) -> list[str]:
+        toks = list(row[tokens_col])[:max_depth]
+        out, cur = [], ""
+        for t in toks:
+            cur = f"{cur}-{t}" if cur else str(t)
+            out.append(cur)
+        return out
+
+    return _Chain(prepare, node, parent, "-", parent_of, py_nodes)
+
+
+def _finish_tail(
+    spark,
+    remaining: DataFrame,
+    chain: _Chain,
+    *,
+    level: int,
+    page_size: int,
+    root: str,
+    seq_col: str,
+    max_depth: int,
+    payload_cols: list[str],
+    node_state: DataFrame | None,
+):
+    """Sequential finisher for the contended tail (≤ tail_threshold rows):
+    the exact per-member arrival walk of the reference, run once driver-side.
+    Deeper trie nodes are touched only by these rows, so counters start from
+    the (streaming) node_state plus nothing — the handoff from the
+    distributed levels is exact. Returns (assignments, relations,
+    counter_updates) DataFrames."""
+    from pyspark.sql import types as T
+
+    from bucketizers_spark.operators.core import RELATIONS_SCHEMA
+
+    pdf = remaining.toPandas().sort_values(seq_col).reset_index(drop=True)
+    records = pdf.to_dict("records")
+
+    counters: dict[str, int] = {}
+    from_state: set[str] = set()
+    if node_state is not None:
+        for r in node_state.collect():  # streaming counters table (small)
+            counters[r["_st_node"]] = r["_st_cnt"]
+            from_state.add(r["_st_node"])
+
+    buckets: list[str | None] = []
+    relations: list[tuple] = []
+    touched: set[str] = set()
+    for row in records:
+        nodes = chain.py_nodes(row)
+        m = len(nodes)
+        multi = bool(row["_multi"])
+        seq = int(row[seq_col])
+        j = level
+        bucket: str | None = None
+        while True:
+            if j > max_depth:
+                bucket = nodes[max_depth - 1]  # safety valve, uncounted
+                break
+            node = nodes[j - 1]
+            if node not in counters:
+                # fresh node: create (relation from chain predecessor) and
+                # place, consuming one counter slot — terminal or not
+                counters[node] = 1
+                touched.add(node)
+                parent = nodes[j - 2] if j >= 2 else root
+                relations.append(
+                    (parent, "Substring", node, node.split(chain.sep), None, seq)
+                )
+                bucket = node
+                break
+            if j == m:  # terminal on an existing node
+                bucket = None if multi else node  # uncounted
+                break
+            if counters[node] < page_size:
+                counters[node] += 1
+                touched.add(node)
+                bucket = node
+                break
+            j += 1
+        buckets.append(bucket)
+
+    out_pdf = pdf[payload_cols].copy()
+    out_pdf["bucket_id"] = buckets
+    a_schema = T.StructType(
+        [f for f in remaining.schema.fields if f.name in payload_cols]
+        + [T.StructField("bucket_id", T.StringType())]
+    )
+    tail_a = spark.createDataFrame(out_pdf, a_schema)
+    tail_r = spark.createDataFrame(relations, RELATIONS_SCHEMA)
+    tail_c = spark.createDataFrame(
+        [(n, counters[n]) for n in touched], "node string, cnt long"
+    )
+    return tail_a, tail_r, tail_c
 
 
 def _run_cascade(
@@ -167,6 +271,7 @@ def _run_cascade(
     node_state: DataFrame | None = None,
     emit_counter_updates: bool = False,
     salt_buckets: int = 0,
+    tail_threshold: int = 100_000,
 ) -> BucketizeResult:
     """Run the cascade; ``node_state`` (node string, cnt long) carries trie
     counters from previous micro-batches for the incremental streaming path
@@ -235,8 +340,11 @@ def _run_cascade(
             )
 
     level = 0
+    remaining_cnt = remaining.count()
     while True:
         level += 1
+        if remaining_cnt == 0:
+            break
         if level > max_depth:
             # safety valve (engine knob; the reference has no cap): force-
             # assign whatever is left to its current node, uncounted
@@ -244,6 +352,31 @@ def _run_cascade(
                 remaining.withColumn("bucket_id", chain.node(level - 1))
                 .select(*payload_cols, "bucket_id")
             )
+            break
+        if remaining_cnt <= tail_threshold:
+            # ---- sequential tail finisher: the still-contended rows are by
+            # now few (each level places page_size rows per node), and the
+            # deep trie walk over them is inherently order-sequential — so
+            # run the exact per-member walk once over the bounded tail
+            # instead of paying one Spark job per remaining level. All
+            # deeper nodes are touched ONLY by these rows, so the handoff
+            # is exact.
+            tail_a, tail_r, tail_c = _finish_tail(
+                spark,
+                remaining,
+                chain,
+                level=level,
+                page_size=page_size,
+                root=root,
+                seq_col=seq_col,
+                max_depth=max_depth,
+                payload_cols=payload_cols,
+                node_state=state,
+            )
+            assignment_parts.append(tail_a)
+            relation_parts.append(tail_r)
+            if emit_counter_updates:
+                counter_parts.append(tail_c)
             break
 
         lvl = remaining.withColumn("_node", chain.node(level)).withColumn(
@@ -423,8 +556,7 @@ def _run_cascade(
             and c not in ("_v", "_npos", "_m", "_multi")
         ]
         remaining = step.where(~F.col("_terminal") & ~placed_nt).drop(*drop_cols)
-        if remaining.isEmpty():
-            break
+        remaining_cnt = remaining.count()
 
     assignments = assignment_parts[0]
     for part in assignment_parts[1:]:
@@ -461,6 +593,7 @@ def substring_trie(
     node_state: DataFrame | None = None,
     emit_counter_updates: bool = False,
     salt_buckets: int = 0,
+    tail_threshold: int = 100_000,
 ) -> BucketizeResult:
     """Character-mode substring trie (reference-exact)."""
     return _run_cascade(
@@ -473,6 +606,7 @@ def substring_trie(
         node_state=node_state,
         emit_counter_updates=emit_counter_updates,
         salt_buckets=salt_buckets,
+        tail_threshold=tail_threshold,
     )
 
 
@@ -487,6 +621,7 @@ def token_prefix_trie(
     node_state: DataFrame | None = None,
     emit_counter_updates: bool = False,
     salt_buckets: int = 0,
+    tail_threshold: int = 100_000,
 ) -> BucketizeResult:
     """Token-mode radix trie over leading n-grams (the north-star payload:
     pre-tokenized sequences). Same cascade, chain keys are dash-joined
@@ -501,4 +636,5 @@ def token_prefix_trie(
         node_state=node_state,
         emit_counter_updates=emit_counter_updates,
         salt_buckets=salt_buckets,
+        tail_threshold=tail_threshold,
     )

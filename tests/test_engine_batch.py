@@ -142,9 +142,12 @@ class TestSubjectEquivalence:
 
 class TestSubstringEquivalence:
     @pytest.mark.parametrize("page_size", [1, 2, 5])
-    def test_cascade_matches_oracle(self, spark, name_values, page_size):
+    @pytest.mark.parametrize("tail", [0, 100_000])
+    def test_cascade_matches_oracle(self, spark, name_values, page_size, tail):
+        if tail and page_size != 2:
+            pytest.skip("finisher path covered once per fixture")
         df = members_df(spark, name_values)
-        res = substring_trie(df, "value", page_size=page_size)
+        res = substring_trie(df, "value", page_size=page_size, tail_threshold=tail)
         oracle = SubstringOracle(page_size=page_size)
         exp, orels, _ = oracle_assignments(oracle, name_values)
         got = collect_assignments(res.assignments)
@@ -158,7 +161,7 @@ class TestSubstringEquivalence:
         # the multi-word no-bucket terminal rule and deep descents
         values = ["ab cd"] * 40
         df = members_df(spark, values)
-        res = substring_trie(df, "value", page_size=3)
+        res = substring_trie(df, "value", page_size=3, tail_threshold=0)
         exp, orels, _ = oracle_assignments(SubstringOracle(page_size=3), values)
         assert collect_assignments(res.assignments) == exp
         assert rel_set(res.relations) == oracle_rel_set(orels)
@@ -187,7 +190,9 @@ class TestTokenTrieEquivalence:
         df = spark.createDataFrame(
             rows, "seq long, member_id string, tokens array<int>"
         )
-        res = token_prefix_trie(df, "tokens", page_size=4, max_depth=8)
+        res = token_prefix_trie(
+            df, "tokens", page_size=4, max_depth=8, tail_threshold=0
+        )
         # oracle: map each token to a unique char → identical cascade,
         # single-word semantics
         oracle = SubstringOracle(page_size=4)
@@ -208,8 +213,10 @@ class TestTokenTrieEquivalence:
 class TestSaltedCascade:
     def test_salted_equals_window_path(self, spark, name_values):
         df = members_df(spark, name_values)
-        a = substring_trie(df, "value", page_size=2)
-        b = substring_trie(df, "value", page_size=2, salt_buckets=4)
+        a = substring_trie(df, "value", page_size=2, tail_threshold=0)
+        b = substring_trie(
+            df, "value", page_size=2, salt_buckets=4, tail_threshold=0
+        )
         assert collect_assignments(a.assignments) == collect_assignments(
             b.assignments
         )
@@ -230,9 +237,12 @@ class TestSaltedCascade:
         df = spark.createDataFrame(
             rows, "seq long, member_id string, tokens array<int>"
         )
-        a = token_prefix_trie(df, "tokens", page_size=5, max_depth=6)
+        a = token_prefix_trie(
+            df, "tokens", page_size=5, max_depth=6, tail_threshold=0
+        )
         b = token_prefix_trie(
-            df, "tokens", page_size=5, max_depth=6, salt_buckets=8
+            df, "tokens", page_size=5, max_depth=6, salt_buckets=8,
+            tail_threshold=0
         )
         assert collect_assignments(a.assignments) == collect_assignments(
             b.assignments
