@@ -76,6 +76,9 @@ class _Chain:
         sep: str,
         parent_of: Callable[[Column], Column],  # node name → parent name
         py_nodes: Callable[[dict], list[str]],  # row dict → [node_1..node_m]
+        input_cols: list[str],  # columns prepare() needs besides seq
+        slim: Callable[[DataFrame], DataFrame] | None = None,  # shrink the
+        # cascade working set after prepare (drop raw value, cap chains)
     ):
         self.prepare = prepare  # adds _v-ish cols + _m (chain length) + _multi
         self.node = node
@@ -83,9 +86,11 @@ class _Chain:
         self.sep = sep
         self.parent_of = parent_of
         self.py_nodes = py_nodes
+        self.input_cols = input_cols
+        self.slim = slim or (lambda df: df)
 
 
-def _char_chain(value_col: str, ascii_fast: bool) -> _Chain:
+def _char_chain(value_col: str, ascii_fast: bool, max_depth: int) -> _Chain:
     """Character-prefix chain over the normalized value ('+' for spaces)."""
 
     def prepare(df: DataFrame) -> DataFrame:
@@ -134,7 +139,22 @@ def _char_chain(value_col: str, ascii_fast: bool) -> _Chain:
         v = row["_v"]
         return [v[:p] for p in row["_npos"]]
 
-    return _Chain(prepare, node, parent, "+", parent_of, py_nodes)
+    def slim(df: DataFrame) -> DataFrame:
+        # the cascade never looks past chain level max_depth: cap the
+        # positions array and the value string to shrink the per-level
+        # shuffle working set (_m stays the TRUE chain length so terminal
+        # vs valve semantics are unchanged)
+        npos_t = F.slice(F.col("_npos"), 1, max_depth)
+        v_t = F.when(
+            F.col("_m") > 0,
+            F.col("_v").substr(
+                F.lit(1), F.element_at(npos_t, F.least(F.col("_m"), F.lit(max_depth)))
+            ),
+        ).otherwise(F.col("_v"))
+        return df.withColumn("_v", v_t).withColumn("_npos", npos_t).drop(value_col)
+
+    return _Chain(prepare, node, parent, "+", parent_of, py_nodes,
+                  input_cols=[value_col], slim=slim)
 
 
 def _token_chain(tokens_col: str, max_depth: int) -> _Chain:
@@ -173,47 +193,35 @@ def _token_chain(tokens_col: str, max_depth: int) -> _Chain:
             out.append(cur)
         return out
 
-    return _Chain(prepare, node, parent, "-", parent_of, py_nodes)
+    def slim(df: DataFrame) -> DataFrame:
+        # only the leading max_depth tokens ever feed a node key: a 64-int
+        # payload array shrinks to max_depth ints in the shuffled working
+        # set (_m stays the full-vs-capped chain length from prepare)
+        return df.withColumn(tokens_col, F.slice(F.col(tokens_col), 1, max_depth))
+
+    return _Chain(prepare, node, parent, "-", parent_of, py_nodes,
+                  input_cols=[tokens_col], slim=slim)
 
 
-def _finish_tail(
-    spark,
-    remaining: DataFrame,
-    chain: _Chain,
-    *,
+def _walk(
+    records: list[dict],
+    py_nodes,
+    sep: str,
     level: int,
     page_size: int,
     root: str,
     seq_col: str,
     max_depth: int,
-    payload_cols: list[str],
-    node_state: DataFrame | None,
+    counters: dict[str, int],
 ):
-    """Sequential finisher for the contended tail (≤ tail_threshold rows):
-    the exact per-member arrival walk of the reference, run once driver-side.
-    Deeper trie nodes are touched only by these rows, so counters start from
-    the (streaming) node_state plus nothing — the handoff from the
-    distributed levels is exact. Returns (assignments, relations,
-    counter_updates) DataFrames."""
-    from pyspark.sql import types as T
-
-    from bucketizers_spark.operators.core import RELATIONS_SCHEMA
-
-    pdf = remaining.toPandas().sort_values(seq_col).reset_index(drop=True)
-    records = pdf.to_dict("records")
-
-    counters: dict[str, int] = {}
-    from_state: set[str] = set()
-    if node_state is not None:
-        for r in node_state.collect():  # streaming counters table (small)
-            counters[r["_st_node"]] = r["_st_cnt"]
-            from_state.add(r["_st_node"])
-
+    """The exact per-member arrival walk of the reference, starting at chain
+    index ``level`` with ``counters`` seeded (mutated in place). Returns
+    (buckets, relations, touched-node set). ``records`` must be seq-sorted."""
     buckets: list[str | None] = []
     relations: list[tuple] = []
     touched: set[str] = set()
     for row in records:
-        nodes = chain.py_nodes(row)
+        nodes = py_nodes(row)
         m = len(nodes)
         multi = bool(row["_multi"])
         seq = int(row[seq_col])
@@ -231,7 +239,7 @@ def _finish_tail(
                 touched.add(node)
                 parent = nodes[j - 2] if j >= 2 else root
                 relations.append(
-                    (parent, "Substring", node, node.split(chain.sep), None, seq)
+                    (parent, "Substring", node, node.split(sep), None, seq)
                 )
                 bucket = node
                 break
@@ -245,11 +253,50 @@ def _finish_tail(
                 break
             j += 1
         buckets.append(bucket)
+    return buckets, relations, touched
 
-    out_pdf = pdf[payload_cols].copy()
+
+def _finish_tail(
+    spark,
+    remaining: DataFrame,
+    chain: _Chain,
+    *,
+    level: int,
+    page_size: int,
+    root: str,
+    seq_col: str,
+    max_depth: int,
+    node_state: DataFrame | None,
+):
+    """Sequential finisher for the contended tail (≤ tail_threshold rows):
+    the exact per-member arrival walk of the reference, run once driver-side.
+    Deeper trie nodes are touched only by these rows, so counters start from
+    the (streaming) node_state plus nothing — the handoff from the
+    distributed levels is exact. Returns ((seq, bucket_id), relations,
+    counter_updates) DataFrames."""
+    from pyspark.sql import types as T
+
+    from bucketizers_spark.operators.core import RELATIONS_SCHEMA
+
+    pdf = remaining.toPandas().sort_values(seq_col).reset_index(drop=True)
+    records = pdf.to_dict("records")
+
+    counters: dict[str, int] = {}
+    from_state: set[str] = set()
+    if node_state is not None:
+        for r in node_state.collect():  # streaming counters table (small)
+            counters[r["_st_node"]] = r["_st_cnt"]
+            from_state.add(r["_st_node"])
+
+    buckets, relations, touched = _walk(
+        records, chain.py_nodes, chain.sep, level, page_size, root, seq_col,
+        max_depth, counters,
+    )
+
+    out_pdf = pdf[[seq_col]].copy()
     out_pdf["bucket_id"] = buckets
     a_schema = T.StructType(
-        [f for f in remaining.schema.fields if f.name in payload_cols]
+        [f for f in remaining.schema.fields if f.name == seq_col]
         + [T.StructField("bucket_id", T.StringType())]
     )
     tail_a = spark.createDataFrame(out_pdf, a_schema)
@@ -258,6 +305,148 @@ def _finish_tail(
         [(n, counters[n]) for n in touched], "node string, cnt long"
     )
     return tail_a, tail_r, tail_c
+
+
+def _run_subtrie_walk(
+    df: DataFrame,
+    chain: _Chain,
+    *,
+    page_size: int,
+    root: str,
+    seq_col: str,
+    max_depth: int,
+    emit_counter_updates: bool = False,
+) -> BucketizeResult:
+    """One-shuffle trie algorithm: after the (global) root level, all
+    capacity interactions happen strictly WITHIN the subtrie under each
+    level-1 node — a node's arrivals all share its level-1 prefix. So one
+    ``applyInPandas`` keyed by the level-1 node runs the exact sequential
+    walk per subtrie. Compared to the level-synchronous cascade this is a
+    single shuffle instead of one per level, at the cost of the hottest
+    level-1 prefix being one task (the cascade + salting remains the tool
+    when a single prefix's row count exceeds a task's memory — knob
+    ``algo='cascade'``). The per-group walk is the reference's inherently
+    sequential semantics; all heavy lifting (normalize, chain prep, payload
+    movement) stays JVM-side on the slim working set."""
+    import pandas as pd
+
+    from bucketizers_spark.operators.core import RELATIONS_SCHEMA
+
+    spark = df.sparkSession
+    slim_in = df.select(seq_col, *chain.input_cols)
+    work = chain.slim(chain.prepare(slim_in))
+
+    parts_a: list[DataFrame] = []
+    empties = work.where(F.col("_m") == 0)
+    work = work.where(F.col("_m") > 0)
+    parts_a.append(empties.select(seq_col, F.lit("").alias("bucket_id")))
+
+    head = (
+        work.select(seq_col).orderBy(seq_col).limit(page_size)
+        .agg(F.max(seq_col).alias("thr"))
+        .collect()
+    )
+    thr = head[0]["thr"] if head else None
+    if thr is not None:
+        parts_a.append(
+            work.where(F.col(seq_col) <= F.lit(thr)).select(
+                seq_col, F.lit(root).alias("bucket_id")
+            )
+        )
+        remaining = work.where(F.col(seq_col) > F.lit(thr))
+    else:
+        remaining = work
+
+    sep = chain.sep
+    py_nodes = chain.py_nodes
+    out_schema = (
+        f"{seq_col} long, bucket_id string, kind string, "
+        "from_bucket string, vals array<string>, cnt long"
+    )
+
+    def walk_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        records = pdf.sort_values(seq_col).to_dict("records")
+        counters: dict[str, int] = {}
+        buckets, relations, touched = _walk(
+            records, py_nodes, sep, 1, page_size, root, seq_col, max_depth,
+            counters,
+        )
+        rows = [
+            {
+                seq_col: r[seq_col],
+                "bucket_id": b,
+                "kind": "a",
+                "from_bucket": None,
+                "vals": None,
+                "cnt": None,
+            }
+            for r, b in zip(records, buckets)
+        ]
+        rows += [
+            {
+                seq_col: rel[5],
+                "bucket_id": rel[2],
+                "kind": "r",
+                "from_bucket": rel[0],
+                "vals": rel[3],
+                "cnt": None,
+            }
+            for rel in relations
+        ]
+        rows += [
+            {
+                seq_col: None,
+                "bucket_id": n,
+                "kind": "c",
+                "from_bucket": None,
+                "vals": None,
+                "cnt": counters[n],
+            }
+            for n in touched
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[seq_col, "bucket_id", "kind", "from_bucket", "vals", "cnt"],
+        )
+
+    walked = (
+        remaining.groupBy(chain.node(1).alias("_g"))
+        .applyInPandas(walk_group, out_schema)
+        .localCheckpoint()
+    )
+    parts_a.append(
+        walked.where(F.col("kind") == "a").select(seq_col, "bucket_id")
+    )
+    bucket_map = parts_a[0]
+    for p in parts_a[1:]:
+        bucket_map = bucket_map.unionByName(p)
+    assignments = df.join(bucket_map, seq_col, "inner")
+
+    relations = walked.where(F.col("kind") == "r").select(
+        F.col("from_bucket"),
+        F.lit("Substring").alias("relation_type"),
+        F.col("bucket_id").alias("to_bucket"),
+        F.col("vals").alias("values"),
+        F.lit(None).cast("string").alias("path"),
+        F.col(seq_col).alias("created_at_seq"),
+    )
+    result = BucketizeResult(assignments, relations, empty_seals(spark))
+    result.persisted = []
+    if emit_counter_updates:
+        updates = walked.where(F.col("kind") == "c").select(
+            F.col("bucket_id").alias("node"), F.col("cnt")
+        )
+        if thr is not None:
+            placed0_cnt = assignments.where(
+                F.col("bucket_id") == root
+            ).count()
+            updates = updates.unionByName(
+                spark.createDataFrame(
+                    [(root, placed0_cnt)], "node string, cnt long"
+                )
+            )
+        result.counter_updates = updates
+    return result
 
 
 def _run_cascade(
@@ -281,8 +470,11 @@ def _run_cascade(
     ``emit_counter_updates`` the result carries a ``counter_updates``
     DataFrame (node, cnt) of post-batch totals for all touched nodes."""
     spark = df.sparkSession
-    payload_cols = df.columns
-    work = chain.prepare(df)
+    # the cascade runs on a SLIM working set — seq + capped chain columns —
+    # so per-level shuffles and hot-node sorts never carry the payload;
+    # the payload is joined back onto the (seq, bucket_id) map at the end
+    slim_in = df.select(seq_col, *chain.input_cols)
+    work = chain.slim(chain.prepare(slim_in))
 
     assignment_parts: list[DataFrame] = []
     relation_parts: list[DataFrame] = []
@@ -300,7 +492,7 @@ def _run_cascade(
     empties = work.where(F.col("_m") == 0)
     work = work.where(F.col("_m") > 0)
     assignment_parts.append(
-        empties.select(*payload_cols, F.lit("").alias("bucket_id"))
+        empties.select(seq_col, F.lit("").alias("bucket_id"))
     )
 
     # ---- level 0: the root. Global top-(remaining capacity) by seq — a
@@ -323,7 +515,7 @@ def _run_cascade(
     if thr is not None:
         placed0 = work.where(F.col(seq_col) <= F.lit(thr))
         assignment_parts.append(
-            placed0.select(*payload_cols, F.lit(root).alias("bucket_id"))
+            placed0.select(seq_col, F.lit(root).alias("bucket_id"))
         )
         if emit_counter_updates:
             counter_parts.append(
@@ -350,7 +542,7 @@ def _run_cascade(
             # assign whatever is left to its current node, uncounted
             assignment_parts.append(
                 remaining.withColumn("bucket_id", chain.node(level - 1))
-                .select(*payload_cols, "bucket_id")
+                .select(seq_col, "bucket_id")
             )
             break
         if remaining_cnt <= tail_threshold:
@@ -370,7 +562,6 @@ def _run_cascade(
                 root=root,
                 seq_col=seq_col,
                 max_depth=max_depth,
-                payload_cols=payload_cols,
                 node_state=state,
             )
             assignment_parts.append(tail_a)
@@ -520,7 +711,7 @@ def _run_cascade(
         leaving = step.where(placed_nt | F.col("_terminal"))
         assignment_parts.append(
             leaving.select(
-                *payload_cols,
+                seq_col,
                 F.when(term_null, F.lit(None).cast("string"))
                 .otherwise(F.col("_node"))
                 .alias("bucket_id"),
@@ -558,9 +749,12 @@ def _run_cascade(
         remaining = step.where(~F.col("_terminal") & ~placed_nt).drop(*drop_cols)
         remaining_cnt = remaining.count()
 
-    assignments = assignment_parts[0]
+    bucket_map = assignment_parts[0]
     for part in assignment_parts[1:]:
-        assignments = assignments.unionByName(part)
+        bucket_map = bucket_map.unionByName(part)
+    # payload join: exactly one bucket row per input row (NULL bucket for
+    # the exhausted multi-word terminals)
+    assignments = df.join(bucket_map, seq_col, "inner")
     relations = (
         empty_relations(spark)
         if not relation_parts
@@ -594,11 +788,20 @@ def substring_trie(
     emit_counter_updates: bool = False,
     salt_buckets: int = 0,
     tail_threshold: int = 100_000,
+    algo: str = "cascade",
 ) -> BucketizeResult:
-    """Character-mode substring trie (reference-exact)."""
+    """Character-mode substring trie (reference-exact). ``algo='subtrie'``
+    switches to the one-shuffle per-level-1-prefix walk (batch only)."""
+    chain = _char_chain(value_col, ascii_fast, max_depth)
+    if algo == "subtrie":
+        assert node_state is None, "subtrie walk is batch-only"
+        return _run_subtrie_walk(
+            df, chain, page_size=page_size, root=root, seq_col=seq_col,
+            max_depth=max_depth, emit_counter_updates=emit_counter_updates,
+        )
     return _run_cascade(
         df,
-        _char_chain(value_col, ascii_fast),
+        chain,
         page_size=page_size,
         root=root,
         seq_col=seq_col,
@@ -622,13 +825,22 @@ def token_prefix_trie(
     emit_counter_updates: bool = False,
     salt_buckets: int = 0,
     tail_threshold: int = 100_000,
+    algo: str = "cascade",
 ) -> BucketizeResult:
     """Token-mode radix trie over leading n-grams (the north-star payload:
     pre-tokenized sequences). Same cascade, chain keys are dash-joined
-    token prefixes, capped at ``max_depth`` n-grams."""
+    token prefixes, capped at ``max_depth`` n-grams. ``algo='subtrie'``
+    switches to the one-shuffle per-level-1-prefix walk (batch only)."""
+    chain = _token_chain(tokens_col, max_depth)
+    if algo == "subtrie":
+        assert node_state is None, "subtrie walk is batch-only"
+        return _run_subtrie_walk(
+            df, chain, page_size=page_size, root=root, seq_col=seq_col,
+            max_depth=max_depth, emit_counter_updates=emit_counter_updates,
+        )
     return _run_cascade(
         df,
-        _token_chain(tokens_col, max_depth),
+        chain,
         page_size=page_size,
         root=root,
         seq_col=seq_col,

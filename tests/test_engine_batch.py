@@ -301,3 +301,33 @@ class TestGeospatialEquivalence:
         assert got["m0"] == ["4/8/5-0"] and got["m1"] == ["4/8/5-1"]
         assert "m2" not in got
         assert [r.member_id for r in res.unmatched.collect()] == ["m2"]
+
+
+class TestSubtrieWalk:
+    @pytest.mark.parametrize("page_size", [1, 2, 5])
+    def test_subtrie_algo_matches_oracle(self, spark, name_values, page_size):
+        df = members_df(spark, name_values)
+        res = substring_trie(df, "value", page_size=page_size, algo="subtrie")
+        oracle = SubstringOracle(page_size=page_size)
+        exp, orels, _ = oracle_assignments(oracle, name_values)
+        assert collect_assignments(res.assignments) == exp
+        assert rel_set(res.relations) == oracle_rel_set(orels)
+
+    def test_subtrie_token_matches_cascade(self, spark):
+        rng = np.random.default_rng(21)
+        toks = [
+            np.minimum(rng.zipf(1.4, size=int(ln)), 30).astype(int).tolist()
+            for ln in rng.integers(1, 8, size=500)
+        ]
+        rows = [(i, f"m{i}", t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(
+            rows, "seq long, member_id string, tokens array<int>"
+        )
+        a = token_prefix_trie(df, "tokens", page_size=7, max_depth=5)
+        b = token_prefix_trie(
+            df, "tokens", page_size=7, max_depth=5, algo="subtrie"
+        )
+        assert collect_assignments(a.assignments) == collect_assignments(
+            b.assignments
+        )
+        assert rel_set(a.relations) == rel_set(b.relations)

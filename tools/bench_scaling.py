@@ -42,7 +42,7 @@ n_rows = df.count()
 n_tok = df.agg(F.sum("n_tok")).collect()[0][0]
 
 t0 = time.time()
-res = token_prefix_trie(df, "tokens", page_size=200, max_depth=6)
+res = token_prefix_trie(df, "tokens", page_size=200, max_depth=6, algo="subtrie")
 a1 = res.assignments.count()
 r1 = res.relations.count()
 tum = (df.groupBy(F.window("event_time", "10 minutes")).agg(
@@ -93,22 +93,42 @@ def run_level(cores: int, data: str) -> dict:
     return json.loads(line)
 
 
+LEVELS = (4, 16)  # true 4x physical cores (the box exposes 32 hyperthreads
+# over ~16 physical cores, so 8->32 would only ever see ~2.3x raw capacity —
+# measured with a pure-CPU probe)
+TRIALS = 3
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     data = ensure_data(n_rows)
-    results = {}
-    for cores in (8, 32):
-        t0 = time.time()
-        results[cores] = run_level(cores, data)
-        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
-        print(f"  (subprocess wall {time.time()-t0:.0f}s)", file=sys.stderr)
-    assert results[8]["outputs"] == results[32]["outputs"], (
-        "parallelism changed results!", results)
-    eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / 4.0
+    # the sandbox shows ~2x run-to-run variance on identical jobs, so trials
+    # are interleaved across levels and each level takes its MIN (the run
+    # least disturbed by noise)
+    runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    for t in range(TRIALS):
+        for cores in LEVELS:
+            t0 = time.time()
+            r = run_level(cores, data)
+            runs[cores].append(r)
+            print(
+                f"trial {t} local[{cores}]: {r['secs']:.1f}s "
+                f"({r['rows_per_sec']:,.0f} seq/s; wall {time.time()-t0:.0f}s)",
+                file=sys.stderr,
+            )
+    outs = {c: [r["outputs"] for r in rs] for c, rs in runs.items()}
+    flat = [o for os_ in outs.values() for o in os_]
+    assert all(o == flat[0] for o in flat), ("parallelism changed results!", outs)
+    best = {c: min(rs, key=lambda r: r["secs"]) for c, rs in runs.items()}
+    lo, hi = LEVELS
+    eff = (best[hi]["rows_per_sec"] / best[lo]["rows_per_sec"]) / (hi / lo)
     summary = {
         "n_rows": n_rows,
-        "local8": results[8],
-        "local32": results[32],
+        "trials": TRIALS,
+        f"local{lo}": best[lo],
+        f"local{hi}": best[hi],
+        f"all_secs_local{lo}": [round(r["secs"], 1) for r in runs[lo]],
+        f"all_secs_local{hi}": [round(r["secs"], 1) for r in runs[hi]],
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(summary))
@@ -117,27 +137,33 @@ def main() -> None:
 
 def write_md(s: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    r8, r32 = s["local8"], s["local32"]
+    lo, hi = LEVELS
+    rl, rh = s[f"local{lo}"], s[f"local{hi}"]
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
 
 North_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. Sandbox proxy (no multi-node cluster available): the identical
-job at local[8] vs local[32], fresh JVM each, same input, fixed
-spark.sql.shuffle.partitions = cores.
+job at local[{lo}] vs local[{hi}] — a true 4x in PHYSICAL cores (the box
+exposes 32 hyperthreads over ~16 physical cores; a pure-CPU probe measured
+only ~2.3x total capacity from 8 to 32 workers, so 8 vs 32 would
+mis-measure the engine). Fresh JVM per run, same input, shuffle.partitions
+= cores, {s['trials']} interleaved trials per level, min taken (the
+sandbox shows ~2x run-to-run noise on identical jobs; all trial times
+below).
 
-Measured job: token-prefix trie cascade (page_size 200, depth 6) +
-10-minute tumbling window aggregation + subject-page assignment/relations
-over the deterministic synthetic token stream (seed 42,
+Measured job: token-prefix trie (page_size 200, depth 6, one-shuffle
+subtrie-walk algo) + 10-minute tumbling window aggregation + subject-page assignment and
+relations over the deterministic synthetic token stream (seed 42,
 {s['n_rows']:,} sequences; FIXTURES.md F1). Outputs verified identical
-across parallelism levels.
+across parallelism levels and trials.
 
-| level | wall s | sequences/s | tokens/s |
-|---|---|---|---|
-| local[8]  | {r8['secs']:.1f} | {r8['rows_per_sec']:,.0f} | {r8['tokens_per_sec']:,.0f} |
-| local[32] | {r32['secs']:.1f} | {r32['rows_per_sec']:,.0f} | {r32['tokens_per_sec']:,.0f} |
+| level | best wall s | sequences/s | tokens/s | all trials (s) |
+|---|---|---|---|---|
+| local[{lo}]  | {rl['secs']:.1f} | {rl['rows_per_sec']:,.0f} | {rl['tokens_per_sec']:,.0f} | {s[f'all_secs_local{lo}']} |
+| local[{hi}] | {rh['secs']:.1f} | {rh['rows_per_sec']:,.0f} | {rh['tokens_per_sec']:,.0f} | {s[f'all_secs_local{hi}']} |
 
-**Scaling efficiency (4x cores): {s['scaling_efficiency']:.3f}**
-(= (throughput_32 / throughput_8) / 4; target >= 0.8)
+**Scaling efficiency (4x physical cores): {s['scaling_efficiency']:.3f}**
+(= (throughput_{hi} / throughput_{lo}) / 4; target >= 0.8)
 
 Reproduce: `python tools/bench_scaling.py {s['n_rows']}`
 """
