@@ -307,69 +307,41 @@ def _finish_tail(
     return tail_a, tail_r, tail_c
 
 
-def _run_subtrie_walk(
-    df: DataFrame,
+def _grouped_walk(
+    remaining: DataFrame,
     chain: _Chain,
     *,
+    level: int,
     page_size: int,
     root: str,
     seq_col: str,
     max_depth: int,
-    emit_counter_updates: bool = False,
-) -> BucketizeResult:
-    """One-shuffle trie algorithm: after the (global) root level, all
-    capacity interactions happen strictly WITHIN the subtrie under each
-    level-1 node — a node's arrivals all share its level-1 prefix. So one
-    ``applyInPandas`` keyed by the level-1 node runs the exact sequential
-    walk per subtrie. Compared to the level-synchronous cascade this is a
-    single shuffle instead of one per level, at the cost of the hottest
-    level-1 prefix being one task (the cascade + salting remains the tool
-    when a single prefix's row count exceeds a task's memory — knob
-    ``algo='cascade'``). The per-group walk is the reference's inherently
-    sequential semantics; all heavy lifting (normalize, chain prep, payload
-    movement) stays JVM-side on the slim working set."""
+) -> DataFrame:
+    """Grouped exact walk: key the still-unplaced rows by their level-L
+    candidate node and run the sequential reference walk per group in
+    applyInPandas. Correct because ALL capacity interactions at chain
+    levels >= L happen strictly within the subtrie under each level-L
+    node (a node's arrivals all share its level-L prefix), and arrivals
+    at the level-L nodes themselves are exactly these rows. One shuffle
+    for the entire remaining trie. Returns a kinds frame
+    (kind 'a' assignment / 'r' relation / 'c' counter), lineage-truncated.
+
+    The per-group walk is the reference's inherently sequential semantics;
+    the heavy lifting (normalize, chain prep, payload movement) stays
+    JVM-side on the slim working set. The hottest level-L prefix is one
+    task — raise the walk level (one more distributed cascade level) to
+    split hot groups, or fall back to the full cascade."""
     import pandas as pd
-
-    from bucketizers_spark.operators.core import RELATIONS_SCHEMA
-
-    spark = df.sparkSession
-    slim_in = df.select(seq_col, *chain.input_cols)
-    work = chain.slim(chain.prepare(slim_in))
-
-    parts_a: list[DataFrame] = []
-    empties = work.where(F.col("_m") == 0)
-    work = work.where(F.col("_m") > 0)
-    parts_a.append(empties.select(seq_col, F.lit("").alias("bucket_id")))
-
-    head = (
-        work.select(seq_col).orderBy(seq_col).limit(page_size)
-        .agg(F.max(seq_col).alias("thr"))
-        .collect()
-    )
-    thr = head[0]["thr"] if head else None
-    if thr is not None:
-        parts_a.append(
-            work.where(F.col(seq_col) <= F.lit(thr)).select(
-                seq_col, F.lit(root).alias("bucket_id")
-            )
-        )
-        remaining = work.where(F.col(seq_col) > F.lit(thr))
-    else:
-        remaining = work
 
     sep = chain.sep
     py_nodes = chain.py_nodes
-    out_schema = (
-        f"{seq_col} long, bucket_id string, kind string, "
-        "from_bucket string, vals array<string>, cnt long"
-    )
 
     def walk_group(pdf: pd.DataFrame) -> pd.DataFrame:
         records = pdf.sort_values(seq_col).to_dict("records")
         counters: dict[str, int] = {}
         buckets, relations, touched = _walk(
-            records, py_nodes, sep, 1, page_size, root, seq_col, max_depth,
-            counters,
+            records, py_nodes, sep, level, page_size, root, seq_col,
+            max_depth, counters,
         )
         rows = [
             {
@@ -409,44 +381,15 @@ def _run_subtrie_walk(
             columns=[seq_col, "bucket_id", "kind", "from_bucket", "vals", "cnt"],
         )
 
-    walked = (
-        remaining.groupBy(chain.node(1).alias("_g"))
+    out_schema = (
+        f"{seq_col} long, bucket_id string, kind string, "
+        "from_bucket string, vals array<string>, cnt long"
+    )
+    return (
+        remaining.groupBy(chain.node(level).alias("_g"))
         .applyInPandas(walk_group, out_schema)
         .localCheckpoint()
     )
-    parts_a.append(
-        walked.where(F.col("kind") == "a").select(seq_col, "bucket_id")
-    )
-    bucket_map = parts_a[0]
-    for p in parts_a[1:]:
-        bucket_map = bucket_map.unionByName(p)
-    assignments = df.join(bucket_map, seq_col, "inner")
-
-    relations = walked.where(F.col("kind") == "r").select(
-        F.col("from_bucket"),
-        F.lit("Substring").alias("relation_type"),
-        F.col("bucket_id").alias("to_bucket"),
-        F.col("vals").alias("values"),
-        F.lit(None).cast("string").alias("path"),
-        F.col(seq_col).alias("created_at_seq"),
-    )
-    result = BucketizeResult(assignments, relations, empty_seals(spark))
-    result.persisted = []
-    if emit_counter_updates:
-        updates = walked.where(F.col("kind") == "c").select(
-            F.col("bucket_id").alias("node"), F.col("cnt")
-        )
-        if thr is not None:
-            placed0_cnt = assignments.where(
-                F.col("bucket_id") == root
-            ).count()
-            updates = updates.unionByName(
-                spark.createDataFrame(
-                    [(root, placed0_cnt)], "node string, cnt long"
-                )
-            )
-        result.counter_updates = updates
-    return result
 
 
 def _run_cascade(
@@ -461,6 +404,7 @@ def _run_cascade(
     emit_counter_updates: bool = False,
     salt_buckets: int = 0,
     tail_threshold: int = 100_000,
+    grouped_walk_level: int | None = None,
 ) -> BucketizeResult:
     """Run the cascade; ``node_state`` (node string, cnt long) carries trie
     counters from previous micro-batches for the incremental streaming path
@@ -544,6 +488,40 @@ def _run_cascade(
                 remaining.withColumn("bucket_id", chain.node(level - 1))
                 .select(seq_col, "bucket_id")
             )
+            break
+        if (
+            grouped_walk_level is not None
+            and level >= grouped_walk_level
+            and state is None
+        ):
+            walked = _grouped_walk(
+                remaining,
+                chain,
+                level=level,
+                page_size=page_size,
+                root=root,
+                seq_col=seq_col,
+                max_depth=max_depth,
+            )
+            assignment_parts.append(
+                walked.where(F.col("kind") == "a").select(seq_col, "bucket_id")
+            )
+            relation_parts.append(
+                walked.where(F.col("kind") == "r").select(
+                    F.col("from_bucket"),
+                    F.lit("Substring").alias("relation_type"),
+                    F.col("bucket_id").alias("to_bucket"),
+                    F.col("vals").alias("values"),
+                    F.lit(None).cast("string").alias("path"),
+                    F.col(seq_col).alias("created_at_seq"),
+                )
+            )
+            if emit_counter_updates:
+                counter_parts.append(
+                    walked.where(F.col("kind") == "c").select(
+                        F.col("bucket_id").alias("node"), F.col("cnt")
+                    )
+                )
             break
         if remaining_cnt <= tail_threshold:
             # ---- sequential tail finisher: the still-contended rows are by
@@ -789,15 +767,19 @@ def substring_trie(
     salt_buckets: int = 0,
     tail_threshold: int = 100_000,
     algo: str = "cascade",
+    walk_level: int = 1,
 ) -> BucketizeResult:
     """Character-mode substring trie (reference-exact). ``algo='subtrie'``
-    switches to the one-shuffle per-level-1-prefix walk (batch only)."""
+    runs ``walk_level - 1`` distributed cascade levels then finishes the
+    whole trie with one grouped walk shuffle (batch only)."""
     chain = _char_chain(value_col, ascii_fast, max_depth)
     if algo == "subtrie":
         assert node_state is None, "subtrie walk is batch-only"
-        return _run_subtrie_walk(
+        return _run_cascade(
             df, chain, page_size=page_size, root=root, seq_col=seq_col,
             max_depth=max_depth, emit_counter_updates=emit_counter_updates,
+            salt_buckets=salt_buckets, tail_threshold=0,
+            grouped_walk_level=walk_level,
         )
     return _run_cascade(
         df,
@@ -826,17 +808,21 @@ def token_prefix_trie(
     salt_buckets: int = 0,
     tail_threshold: int = 100_000,
     algo: str = "cascade",
+    walk_level: int = 1,
 ) -> BucketizeResult:
     """Token-mode radix trie over leading n-grams (the north-star payload:
     pre-tokenized sequences). Same cascade, chain keys are dash-joined
     token prefixes, capped at ``max_depth`` n-grams. ``algo='subtrie'``
-    switches to the one-shuffle per-level-1-prefix walk (batch only)."""
+    runs ``walk_level - 1`` distributed cascade levels then finishes the
+    whole trie with one grouped walk shuffle (batch only)."""
     chain = _token_chain(tokens_col, max_depth)
     if algo == "subtrie":
         assert node_state is None, "subtrie walk is batch-only"
-        return _run_subtrie_walk(
+        return _run_cascade(
             df, chain, page_size=page_size, root=root, seq_col=seq_col,
             max_depth=max_depth, emit_counter_updates=emit_counter_updates,
+            salt_buckets=salt_buckets, tail_threshold=0,
+            grouped_walk_level=walk_level,
         )
     return _run_cascade(
         df,

@@ -331,3 +331,14 @@ class TestSubtrieWalk:
             b.assignments
         )
         assert rel_set(a.relations) == rel_set(b.relations)
+
+    def test_walk_level_2_matches_oracle(self, spark, name_values):
+        df = members_df(spark, name_values)
+        res = substring_trie(
+            df, "value", page_size=2, algo="subtrie", walk_level=2
+        )
+        exp, orels, _ = oracle_assignments(
+            SubstringOracle(page_size=2), name_values
+        )
+        assert collect_assignments(res.assignments) == exp
+        assert rel_set(res.relations) == oracle_rel_set(orels)
