@@ -77,6 +77,10 @@ class TrieStreamJob:
         spark = batch_df.sparkSession
         if batch_id in self.sink.committed_batches():
             return  # replayed and already fully committed — exactly-once
+        # the cascade runs several actions (thresholds, counts, sink +
+        # counter writes); without caching, each one re-scans the batch
+        # source (observed 8x input re-reads via StreamingQueryProgress)
+        batch_df = batch_df.persist()
         state = self._latest_counters(spark, batch_id)
         kwargs = dict(
             page_size=self.page_size,
@@ -104,6 +108,7 @@ class TrieStreamJob:
         self.sink.foreach_batch()(res.assignments, batch_id)
         self._write_counters(updates, batch_id)
         updates.unpersist()
+        batch_df.unpersist()
         for p in res.persisted:
             p.unpersist()
 

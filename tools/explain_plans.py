@@ -36,16 +36,21 @@ def main() -> None:
         plan = buf.getvalue()
         print(f"\n================ {name} ================")
         print(plan)
+        codegen_ops = sum(
+            1 for ln in plan.splitlines() if ln.lstrip().startswith("* ")
+        )
         signals = {
-            "WholeStageCodegen": plan.count("WholeStageCodegen"),
-            "Exchange(shuffle)": plan.count("Exchange hashpartitioning")
-            + plan.count("Exchange rangepartitioning"),
-            "Exchange(single)": plan.count("Exchange SinglePartition"),
+            "codegen_ops": codegen_ops,
+            "Exchange": plan.count("Exchange ("),
+            "hashpartitioning": plan.count("hashpartitioning"),
+            "SinglePartition": plan.count("SinglePartition"),
             "BroadcastExchange": plan.count("BroadcastExchange"),
             "PushedFilters": plan.count("PushedFilters: ["),
-            "ArrowEval(pandas)": plan.count("ArrowEval")
-            + plan.count("FlatMapGroupsInPandas"),
-            "AQEShuffleRead": plan.count("AQEShuffleRead"),
+            "pandas_udf": plan.count("ArrowEval")
+            + plan.count("FlatMapGroupsInPandas")
+            + plan.count("MapInPandas"),
+            "Window": plan.count("Window ("),
+            "Scan parquet": plan.count("Scan parquet"),
         }
         print(">>> signals:", signals)
 
