@@ -627,6 +627,53 @@ FROM embeddings
 """
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: candidates pruned to same sign-LSH
+    bucket (8 leading-dimension sign bits), then exact cosine >= 0.3 —
+    the LSH-bucket join is the 100 TB path (no all-pairs product)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(8)
+    ]
+    b = emb.select("vec_id", "embedding", F.concat(*bits).alias("bucket"))
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    )
+    cos = F.round(_cosine(F.col("a.embedding"), F.col("c.embedding")), 4)
+    return pairs.select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("c.vec_id").alias("b_id"),
+        cos.alias("cos_r4"),
+    ).where(F.col("cos_r4") >= 0.3)
+
+
+_SIGN_BITS_SQL = " || ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+)
+
+SQL_EMB_NEAR_DUP = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SIGN_BITS_SQL} AS bucket FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+    round(
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      4) AS cos_r4
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT a_id, b_id, cos_r4 FROM p WHERE cos_r4 >= 0.3
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis: quality stats, language guess, token counts, fingerprint
 # --------------------------------------------------------------------------
@@ -791,6 +838,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "emb_near_dup": q_emb_near_dup,
     "text_quality": q_text_quality,
     "lang_guess": q_lang_guess,
     "token_count": q_token_count,
@@ -818,6 +866,7 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh": SQL_ANN_LSH,
+    "emb_near_dup": SQL_EMB_NEAR_DUP,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_guess": SQL_LANG_GUESS,
     "token_count": SQL_TOKEN_COUNT,
