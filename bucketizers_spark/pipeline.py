@@ -95,12 +95,21 @@ def _build_time(df: DataFrame, spec: JobSpec) -> BucketizeResult:
 def _build_geospatial(df: DataFrame, spec: JobSpec) -> BucketizeResult:
     from bucketizers_spark.operators.geospatial import geospatial_tiles
 
-    return geospatial_tiles(
+    res = geospatial_tiles(
         df,
         spec.column,
         zoom=spec.zoom,
         page_size=spec.page_size,
         root=spec.root,
+    )
+    # non-WKT values throw in the reference ⇒ fallback pager
+    # (SlippyMaps.ts:44-49 + BucketizerCore.ts:301-309); the operator
+    # surfaces them as `unmatched`
+    fb = fallback_pager(res.unmatched, page_size=spec.page_size, root=spec.root)
+    return BucketizeResult(
+        res.assignments.unionByName(fb.assignments),
+        res.relations.unionByName(fb.relations),
+        res.seals,
     )
 
 

@@ -185,3 +185,21 @@ class TestQuadPath:
             for r in extract_property_path(quads, []).collect()
         }
         assert ids == {"m1", "m2", "m3"}
+
+
+class TestGeospatialFallbackRouting:
+    def test_non_wkt_routes_to_bucketless(self, spark):
+        from bucketizers_spark.pipeline import build
+
+        rows = [
+            (0, "POINT (3.15 51.08)"),
+            (1, "not-wkt-at-all"),
+            (2, "POINT (4.77 50.78)"),
+        ]
+        df = spark.createDataFrame(rows, "seq long, value string")
+        res = build(
+            df, {"strategy": "geospatial", "column": "value", "zoom": 4}
+        )
+        got = {r.seq: r.bucket_id for r in res.assignments.collect()}
+        assert got[0].startswith("4/") and got[2].startswith("4/")
+        assert got[1] == "bucketless-0"

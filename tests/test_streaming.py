@@ -270,3 +270,77 @@ class TestWatermarkSealing:
             assert want[k] == v
         # the stream tail (inside the final watermark) is still unsealed
         assert len(sealed) < len(want)
+
+
+class TestStreamingWindows:
+    def test_tumbling_assign_stream(self, spark, workdir, stream_pdf):
+        from bucketizers_spark.streaming.windows import tumbling_assign_stream
+
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=3)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        assigned = tumbling_assign_stream(
+            stream, "event_time", "10 minutes", watermark="5 minutes"
+        )
+        out = os.path.join(workdir, "assign")
+        q = (
+            assigned.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.read.parquet(out)
+        # stateless assignment: every member present exactly once with the
+        # same window bucket the batch operator computes
+        assert got.count() == len(stream_pdf)
+        batch = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        want = {
+            r.seq: r.b
+            for r in batch.select(
+                "seq",
+                F.date_format(
+                    F.window("event_time", "10 minutes")["start"],
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("b"),
+            ).collect()
+        }
+        got_map = {r.seq: r.bucket_id for r in got.select("seq", "bucket_id").collect()}
+        assert got_map == want
+
+    def test_session_seal_stream(self, spark, workdir, stream_pdf):
+        from bucketizers_spark.streaming.windows import session_seal_stream
+
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=3)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        sessions = session_seal_stream(
+            stream, "event_time", "2 minutes", watermark="5 minutes",
+            key_cols=["source"],
+        )
+        out = os.path.join(workdir, "sessions")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        sealed = spark.read.parquet(out)
+        assert sealed.count() > 0
+        # every sealed session matches the batch session computation
+        from bucketizers_spark.operators.time_window import session_bucketizer
+
+        batch = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        want = {
+            (r.source, r.session_start): r.n_members
+            for r in session_bucketizer(
+                batch, "event_time", "2 minutes", key_cols=["source"]
+            ).collect()
+        }
+        for r in sealed.collect():
+            assert want[(r.source, r.session_start)] == r.n_members
