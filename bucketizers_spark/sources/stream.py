@@ -47,6 +47,12 @@ def stage_chunks(
             coerce_timestamps="us",
             allow_truncated_timestamps=True,
         )
+        # FileStreamSource orders new files by MODIFICATION TIME; chunks
+        # written milliseconds apart can collide and get consumed out of
+        # seq order (observed as a flaky incremental-vs-batch mismatch).
+        # Pin strictly increasing mtimes keyed by the chunk index.
+        t = 1_700_000_000 + k
+        os.utime(path, (t, t))
         paths.append(path)
     return paths
 
