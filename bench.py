@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "ann_topk",
+    "emb_near_dup",
     "text_quality",
     "doc_fingerprint",
 ]
