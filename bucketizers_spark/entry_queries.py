@@ -196,20 +196,40 @@ GROUP BY i
 # time windows (north_rule): tumbling / sliding / session over events.ts
 # --------------------------------------------------------------------------
 def q_time_tumbling(spark, sf_dir):
+    # Hashed surface is engine-neutral by construction (r1 driver hash
+    # mismatch root-caused to round-on-double: Spark F.round is HALF_UP on
+    # the shortest decimal repr, DuckDB rounds the binary double): cents via
+    # floor(v*100 + 0.5) — identical IEEE ops both engines — and the bucket
+    # key as integer epoch seconds instead of TZ-formatted timestamps.
     ev = _t(spark, sf_dir, "events").withColumn(
-        "cents", F.round(F.col("value") * 100).cast("long")
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     )
     res = tumbling_bucketizer(ev, "ts", "1 hour")
-    return res.assignments.groupBy("bucket_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("cents").alias("sum_cents"),
+    # group on the operator's bucket_id (1:1 with the hour window), hash the
+    # epoch form of the window start. ts is TIMESTAMP_NTZ (no direct long
+    # cast), so build the hour-floored naive epoch from date/time parts —
+    # session-TZ-proof by construction.
+    epoch = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour("ts").cast("long") * 3600
+    )
+    return (
+        res.assignments.withColumn("_epoch", epoch)
+        .groupBy("bucket_id")
+        .agg(
+            F.min("_epoch").alias("bucket_epoch"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select("bucket_epoch", "n_events", "sum_cents")
     )
 
 
-SQL_TIME_TUMBLING = f"""
-SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_DUCK}') AS bucket_id,
+SQL_TIME_TUMBLING = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
 FROM events GROUP BY 1
 """
 

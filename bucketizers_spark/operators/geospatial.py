@@ -70,9 +70,13 @@ def geospatial_tiles(
     stripped = F.regexp_replace(F.col(value_col).cast("string"), r"^<[^>]*>\s*", "")
     pairs = F.regexp_extract_all(stripped, F.lit(_PAIR_RE), 0)
 
+    # full truncated-latitude domain -90..90 with the same float-precision
+    # formula as the oracle: Python math.tan(pi/2) is finite (matching JS),
+    # so +90 maps to a finite (negative) y; -90 hits log(0) → ValueError,
+    # exactly like the oracle, whose throw routes the member to the fallback.
     ytab = {
         lat: y
-        for lat in range(-89, 90)
+        for lat in range(-90, 91)
         if (y := _tile_y_int(lat, zoom)) is not None
     }
     ymap = F.create_map(*[F.lit(v) for kv in ytab.items() for v in kv])
@@ -84,9 +88,15 @@ def geospatial_tiles(
         return F.struct(x.alias("x"), ymap[lat].alias("y"))
 
     tiles = F.array_distinct(F.transform(pairs, tile_of))
+    # a pair whose latitude has no finite tile-y (lat == -90 after
+    # truncation, or out-of-range garbage) throws in the reference
+    # (SlippyMaps.ts:44-49) → the WHOLE member goes to the fallback, like
+    # any non-WKT value
+    bad = F.exists(F.col("_tiles"), lambda t: t["y"].isNull())
     work = df.withColumn("_tiles", tiles)
-    unmatched = work.where(F.size("_tiles") == 0).drop("_tiles")
-    matched = work.where(F.size("_tiles") > 0)
+    is_matched = (F.size("_tiles") > 0) & ~bad
+    unmatched = work.where(~is_matched).drop("_tiles")
+    matched = work.where(is_matched)
 
     exploded = matched.select(
         *payload_cols, F.posexplode("_tiles").alias("_tpos", "_t")

@@ -40,6 +40,10 @@ Scale notes:
 - Each level shuffles only the still-unplaced rows (shrinking fast: a level
   places up to page_size rows per node). Level count ≈ depth of the hottest
   duplicated prefix, not value length.
+- Once the remaining set fits per-group pandas memory (tail_threshold), the
+  whole residual trie finishes in ONE applyInPandas shuffle (grouped
+  subtrie walk — no driver-side collect anywhere in the hot path);
+  streaming counters are cogrouped into their subtrie groups.
 - Hot-node skew: rows for one node land in one window partition. Capacity
   placement only needs the node's (cap)-th smallest seq, so a pathological
   hot node can be handled with a per-node threshold aggregate instead of
@@ -79,6 +83,8 @@ class _Chain:
         input_cols: list[str],  # columns prepare() needs besides seq
         slim: Callable[[DataFrame], DataFrame] | None = None,  # shrink the
         # cascade working set after prepare (drop raw value, cap chains)
+        node_prefix_of: Callable[[Column, int], Column] | None = None,
+        node_level_of: Callable[[Column], Column] | None = None,
     ):
         self.prepare = prepare  # adds _v-ish cols + _m (chain length) + _multi
         self.node = node
@@ -88,6 +94,10 @@ class _Chain:
         self.py_nodes = py_nodes
         self.input_cols = input_cols
         self.slim = slim or (lambda df: df)
+        # expressions over a NODE-NAME column (for routing carried streaming
+        # counters to their level-L subtrie group in the grouped walk)
+        self.node_prefix_of = node_prefix_of
+        self.node_level_of = node_level_of
 
 
 def _char_chain(value_col: str, ascii_fast: bool, max_depth: int) -> _Chain:
@@ -153,8 +163,21 @@ def _char_chain(value_col: str, ascii_fast: bool, max_depth: int) -> _Chain:
         ).otherwise(F.col("_v"))
         return df.withColumn("_v", v_t).withColumn("_npos", npos_t).drop(value_col)
 
+    def _npos_of(n: Column) -> Column:
+        return F.filter(
+            F.sequence(F.lit(1), F.length(n)),
+            lambda i: n.substr(i, F.lit(1)) != "+",
+        )
+
+    def node_prefix_of(n: Column, level: int) -> Column:
+        return n.substr(F.lit(1), F.element_at(_npos_of(n), level))
+
+    def node_level_of(n: Column) -> Column:
+        return F.size(_npos_of(n))
+
     return _Chain(prepare, node, parent, "+", parent_of, py_nodes,
-                  input_cols=[value_col], slim=slim)
+                  input_cols=[value_col], slim=slim,
+                  node_prefix_of=node_prefix_of, node_level_of=node_level_of)
 
 
 def _token_chain(tokens_col: str, max_depth: int) -> _Chain:
@@ -199,8 +222,15 @@ def _token_chain(tokens_col: str, max_depth: int) -> _Chain:
         # set (_m stays the full-vs-capped chain length from prepare)
         return df.withColumn(tokens_col, F.slice(F.col(tokens_col), 1, max_depth))
 
+    def node_prefix_of(n: Column, level: int) -> Column:
+        return F.concat_ws("-", F.slice(F.split(n, "-"), 1, level))
+
+    def node_level_of(n: Column) -> Column:
+        return F.size(F.split(n, "-"))
+
     return _Chain(prepare, node, parent, "-", parent_of, py_nodes,
-                  input_cols=[tokens_col], slim=slim)
+                  input_cols=[tokens_col], slim=slim,
+                  node_prefix_of=node_prefix_of, node_level_of=node_level_of)
 
 
 def _walk(
@@ -222,7 +252,11 @@ def _walk(
     touched: set[str] = set()
     for row in records:
         nodes = py_nodes(row)
-        m = len(nodes)
+        # TRUE chain length, not len(nodes): slim() caps the node list at
+        # max_depth, and a member deeper than the cap must take the safety
+        # valve (uncounted cap-node assignment), matching the distributed
+        # cascade — not the terminal branch.
+        m = int(row["_m"])
         multi = bool(row["_multi"])
         seq = int(row[seq_col])
         j = level
@@ -256,57 +290,6 @@ def _walk(
     return buckets, relations, touched
 
 
-def _finish_tail(
-    spark,
-    remaining: DataFrame,
-    chain: _Chain,
-    *,
-    level: int,
-    page_size: int,
-    root: str,
-    seq_col: str,
-    max_depth: int,
-    node_state: DataFrame | None,
-):
-    """Sequential finisher for the contended tail (≤ tail_threshold rows):
-    the exact per-member arrival walk of the reference, run once driver-side.
-    Deeper trie nodes are touched only by these rows, so counters start from
-    the (streaming) node_state plus nothing — the handoff from the
-    distributed levels is exact. Returns ((seq, bucket_id), relations,
-    counter_updates) DataFrames."""
-    from pyspark.sql import types as T
-
-    from bucketizers_spark.operators.core import RELATIONS_SCHEMA
-
-    pdf = remaining.toPandas().sort_values(seq_col).reset_index(drop=True)
-    records = pdf.to_dict("records")
-
-    counters: dict[str, int] = {}
-    from_state: set[str] = set()
-    if node_state is not None:
-        for r in node_state.collect():  # streaming counters table (small)
-            counters[r["_st_node"]] = r["_st_cnt"]
-            from_state.add(r["_st_node"])
-
-    buckets, relations, touched = _walk(
-        records, chain.py_nodes, chain.sep, level, page_size, root, seq_col,
-        max_depth, counters,
-    )
-
-    out_pdf = pdf[[seq_col]].copy()
-    out_pdf["bucket_id"] = buckets
-    a_schema = T.StructType(
-        [f for f in remaining.schema.fields if f.name == seq_col]
-        + [T.StructField("bucket_id", T.StringType())]
-    )
-    tail_a = spark.createDataFrame(out_pdf, a_schema)
-    tail_r = spark.createDataFrame(relations, RELATIONS_SCHEMA)
-    tail_c = spark.createDataFrame(
-        [(n, counters[n]) for n in touched], "node string, cnt long"
-    )
-    return tail_a, tail_r, tail_c
-
-
 def _grouped_walk(
     remaining: DataFrame,
     chain: _Chain,
@@ -316,6 +299,7 @@ def _grouped_walk(
     root: str,
     seq_col: str,
     max_depth: int,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Grouped exact walk: key the still-unplaced rows by their level-L
     candidate node and run the sequential reference walk per group in
@@ -325,6 +309,13 @@ def _grouped_walk(
     at the level-L nodes themselves are exactly these rows. One shuffle
     for the entire remaining trie. Returns a kinds frame
     (kind 'a' assignment / 'r' relation / 'c' counter), lineage-truncated.
+
+    With ``state`` (streaming: carried node counters ``_st_node/_st_cnt``),
+    each counter row is routed to its level-L ancestor group via a cogroup —
+    the per-group walk starts from the carried counts, so existing nodes
+    never re-create and their remaining capacity is page_size - cnt. State
+    nodes shallower than L are never consulted by a walk that starts at
+    chain index L (the root's own counter is handled at level 0).
 
     The per-group walk is the reference's inherently sequential semantics;
     the heavy lifting (normalize, chain prep, payload movement) stays
@@ -336,9 +327,8 @@ def _grouped_walk(
     sep = chain.sep
     py_nodes = chain.py_nodes
 
-    def walk_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def walk_with_counters(pdf: pd.DataFrame, counters: dict) -> pd.DataFrame:
         records = pdf.sort_values(seq_col).to_dict("records")
-        counters: dict[str, int] = {}
         buckets, relations, touched = _walk(
             records, py_nodes, sep, level, page_size, root, seq_col,
             max_depth, counters,
@@ -385,9 +375,37 @@ def _grouped_walk(
         f"{seq_col} long, bucket_id string, kind string, "
         "from_bucket string, vals array<string>, cnt long"
     )
+    keyed = remaining.groupBy(chain.node(level).alias("_g"))
+    if state is None:
+
+        def walk_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            return walk_with_counters(pdf, {})
+
+        return keyed.applyInPandas(walk_group, out_schema).localCheckpoint()
+
+    # streaming: route carried counters (nodes at chain level >= L only;
+    # the literal root row is level-0 bookkeeping) to their subtrie group
+    st = (
+        state.where(F.col("_st_node") != root)
+        .where(chain.node_level_of(F.col("_st_node")) >= level)
+        .select(
+            chain.node_prefix_of(F.col("_st_node"), level).alias("_g"),
+            "_st_node",
+            "_st_cnt",
+        )
+    )
+
+    def walk_cogroup(rows_pdf: pd.DataFrame, st_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(rows_pdf):
+            return pd.DataFrame(
+                columns=[seq_col, "bucket_id", "kind", "from_bucket", "vals", "cnt"]
+            )
+        counters = dict(zip(st_pdf["_st_node"], (int(c) for c in st_pdf["_st_cnt"])))
+        return walk_with_counters(rows_pdf, counters)
+
     return (
-        remaining.groupBy(chain.node(level).alias("_g"))
-        .applyInPandas(walk_group, out_schema)
+        keyed.cogroup(st.groupBy("_g"))
+        .applyInPandas(walk_cogroup, out_schema)
         .localCheckpoint()
     )
 
@@ -431,12 +449,20 @@ def _run_cascade(
             F.col("node").alias("_st_node"), F.col("cnt").alias("_st_cnt")
         )
 
-    # ---- empty-value edge: normalize('') → bucket '' with no capacity
-    # interaction (SubstringBucketizer.ts:80-86 with zero characters)
+    # ---- empty-value edge (SubstringBucketizer.ts:80-86 with zero
+    # characters): a truly empty SINGLE-word value is pushed as bucket ''
+    # (the exhausted-single-word fallthrough with substring=''); a MULTI-word
+    # value normalizing to only separators (e.g. '- -' → '++') exhausts its
+    # chain without the single-word push → NO bucket (NULL).
     empties = work.where(F.col("_m") == 0)
     work = work.where(F.col("_m") > 0)
     assignment_parts.append(
-        empties.select(seq_col, F.lit("").alias("bucket_id"))
+        empties.select(
+            seq_col,
+            F.when(F.col("_multi"), F.lit(None).cast("string"))
+            .otherwise(F.lit(""))
+            .alias("bucket_id"),
+        )
     )
 
     # ---- level 0: the root. Global top-(remaining capacity) by seq — a
@@ -490,10 +516,15 @@ def _run_cascade(
             )
             break
         if (
-            grouped_walk_level is not None
-            and level >= grouped_walk_level
-            and state is None
-        ):
+            grouped_walk_level is not None and level >= grouped_walk_level
+        ) or remaining_cnt <= tail_threshold:
+            # ---- grouped subtrie finisher: the still-contended rows shrink
+            # fast (each level places page_size rows per node); once they
+            # fit a per-group pandas walk — or the configured walk level is
+            # reached — finish the WHOLE remaining trie with ONE
+            # applyInPandas shuffle instead of one Spark job per remaining
+            # level. All deeper nodes are touched ONLY by these rows, so the
+            # handoff from the distributed levels is exact.
             walked = _grouped_walk(
                 remaining,
                 chain,
@@ -502,6 +533,7 @@ def _run_cascade(
                 root=root,
                 seq_col=seq_col,
                 max_depth=max_depth,
+                state=state,
             )
             assignment_parts.append(
                 walked.where(F.col("kind") == "a").select(seq_col, "bucket_id")
@@ -522,30 +554,6 @@ def _run_cascade(
                         F.col("bucket_id").alias("node"), F.col("cnt")
                     )
                 )
-            break
-        if remaining_cnt <= tail_threshold:
-            # ---- sequential tail finisher: the still-contended rows are by
-            # now few (each level places page_size rows per node), and the
-            # deep trie walk over them is inherently order-sequential — so
-            # run the exact per-member walk once over the bounded tail
-            # instead of paying one Spark job per remaining level. All
-            # deeper nodes are touched ONLY by these rows, so the handoff
-            # is exact.
-            tail_a, tail_r, tail_c = _finish_tail(
-                spark,
-                remaining,
-                chain,
-                level=level,
-                page_size=page_size,
-                root=root,
-                seq_col=seq_col,
-                max_depth=max_depth,
-                node_state=state,
-            )
-            assignment_parts.append(tail_a)
-            relation_parts.append(tail_r)
-            if emit_counter_updates:
-                counter_parts.append(tail_c)
             break
 
         lvl = remaining.withColumn("_node", chain.node(level)).withColumn(
@@ -771,13 +779,14 @@ def substring_trie(
 ) -> BucketizeResult:
     """Character-mode substring trie (reference-exact). ``algo='subtrie'``
     runs ``walk_level - 1`` distributed cascade levels then finishes the
-    whole trie with one grouped walk shuffle (batch only)."""
+    whole trie with one grouped walk shuffle; with ``node_state`` the walk
+    cogroups the carried counters into their subtrie groups (streaming)."""
     chain = _char_chain(value_col, ascii_fast, max_depth)
     if algo == "subtrie":
-        assert node_state is None, "subtrie walk is batch-only"
         return _run_cascade(
             df, chain, page_size=page_size, root=root, seq_col=seq_col,
-            max_depth=max_depth, emit_counter_updates=emit_counter_updates,
+            max_depth=max_depth, node_state=node_state,
+            emit_counter_updates=emit_counter_updates,
             salt_buckets=salt_buckets, tail_threshold=0,
             grouped_walk_level=walk_level,
         )
@@ -814,13 +823,14 @@ def token_prefix_trie(
     pre-tokenized sequences). Same cascade, chain keys are dash-joined
     token prefixes, capped at ``max_depth`` n-grams. ``algo='subtrie'``
     runs ``walk_level - 1`` distributed cascade levels then finishes the
-    whole trie with one grouped walk shuffle (batch only)."""
+    whole trie with one grouped walk shuffle; with ``node_state`` the walk
+    cogroups the carried counters into their subtrie groups (streaming)."""
     chain = _token_chain(tokens_col, max_depth)
     if algo == "subtrie":
-        assert node_state is None, "subtrie walk is batch-only"
         return _run_cascade(
             df, chain, page_size=page_size, root=root, seq_col=seq_col,
-            max_depth=max_depth, emit_counter_updates=emit_counter_updates,
+            max_depth=max_depth, node_state=node_state,
+            emit_counter_updates=emit_counter_updates,
             salt_buckets=salt_buckets, tail_threshold=0,
             grouped_walk_level=walk_level,
         )

@@ -52,14 +52,20 @@ def _first_seen_fn(
     key, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     seen = state.get[0] if state.exists else False
-    for pdf in pdfs:
-        pdf = pdf.sort_values("seq")
+    # Materialize ALL Arrow chunks before tagging: a bucket whose rows span
+    # multiple record batches within one micro-batch (large groups, or
+    # unordered chunk delivery) must tag the GLOBAL min-seq row as first —
+    # per-chunk tagging could pick a non-min row and carry the wrong
+    # member's value/seq into the rotation stage. Group volume is bounded
+    # by the micro-batch, so the concat is safe.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf):
+        pdf = pdf.sort_values("seq").reset_index(drop=True)
         first = pd.Series(False, index=pdf.index)
-        if not seen and len(pdf):
+        if not seen:
             first.iloc[0] = True
             seen = True
-        pdf = pdf.assign(is_first=first)
-        yield pdf
+        yield pdf.assign(is_first=first)
     state.update((bool(seen),))
 
 

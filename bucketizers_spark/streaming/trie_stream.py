@@ -104,9 +104,17 @@ class TrieStreamJob:
         updates = updates.persist()
         updates.count()
 
+        # Counters are written BEFORE the main sink's manifest commit: a
+        # crash after the sink commit but before a v=batch_id counter write
+        # would otherwise leave the batch permanently committed (replay
+        # returns early at committed_batches) while batch_id+1 still reads
+        # v=batch_id-1 state — over-filling trie nodes on recovery. Writing
+        # counters first is safe because _latest_counters only reads
+        # versions < batch_id, so a replayed batch recomputes from v-1 and
+        # overwrites v=batch_id idempotently.
+        self._write_counters(updates, batch_id)
         self.rel_sink.write_batch(res.relations, batch_id)
         self.sink.foreach_batch()(res.assignments, batch_id)
-        self._write_counters(updates, batch_id)
         updates.unpersist()
         batch_df.unpersist()
         for p in res.persisted:
