@@ -808,19 +808,128 @@ FROM documents WHERE length(text) >= 4
 
 
 # --------------------------------------------------------------------------
-# S2 substring / token tries — rows-only (sequential capacity allocation is
-# not expressible as one SQL query; pinned against the oracle in pytest)
+# S2 substring / token tries — with generated DuckDB oracles.
+#
+# The trie's sequential capacity allocation IS SQL-expressible at fixed
+# depth because placement is level-synchronous (see operators/substring.py
+# module docstring): level 0 is a global seq top-K; each level L >= 1 ranks
+# the still-unplaced members within their level-L candidate node and
+# applies the exact capacity/terminal CASE rules; anything deeper than
+# max_depth takes the safety valve. _trie_sql() unrolls max_depth levels
+# of CTEs, mirroring SubstringBucketizer.ts:44-148 semantics per level.
 # --------------------------------------------------------------------------
+_TRIE_PS = 100  # char-mode page size
+_TRIE_DEPTH = 8  # char-mode unrolled depth (valve beyond)
+_TOK_PS = 50
+_TOK_DEPTH = 6
+
+# cross-engine deterministic "pre-tokenization" of text → array<int> in
+# [0, 256): first-char code point and word length, expressible identically
+# in Spark and DuckDB (a stand-in for upstream BPE ids — the operator only
+# needs ints)
+_TOK_SQL = "CAST((ascii(w) * 7 + length(w) * 13) % 256 AS VARCHAR)"
+
+
+def _trie_sql(mode: str, page_size: int, depth: int, out: str) -> str:
+    """Generate the unrolled trie-cascade oracle SQL.
+
+    mode: 'char' (normalized-value prefixes, '+' for spaces) or 'token'
+    (dash-joined leading token n-grams). out: 'assignments' (seq → bucket)
+    or 'relations' (one Substring edge per created node)."""
+    ps, ps1 = page_size, page_size - 1
+    if mode == "char":
+        npos = "list_filter(range(1, length(v) + 1), i -> substr(v, i, 1) <> '+')"
+        prep = f"""
+prep AS (
+  SELECT doc_id AS seq,
+         replace(lower(replace(regexp_replace(trim(text), '[,'']', '', 'g'),
+                               '-', ' ')), ' ', '+') AS v
+  FROM documents
+),
+chain AS (
+  SELECT seq, v, {npos} AS npos, len({npos}) AS m, contains(v, '+') AS multi
+  FROM prep
+)"""
+        node = lambda L: f"substr(v, 1, npos[{L}])"  # noqa: E731
+        carry = "seq, v, npos, m, multi"
+    else:
+        prep = f"""
+prep AS (
+  SELECT doc_id AS seq,
+         list_transform(string_split(text, ' '), w -> {_TOK_SQL}) AS toks
+  FROM documents
+),
+chain AS (
+  SELECT seq, toks, least(len(toks), {depth}) AS m, FALSE AS multi FROM prep
+)"""
+        node = lambda L: f"array_to_string(toks[1:{L}], '-')"  # noqa: E731
+        carry = "seq, toks, m, multi"
+
+    cap = f"(CASE WHEN first_term THEN {ps1} ELSE {ps} END)"
+    parts = [
+        prep,
+        f"""
+base AS (SELECT * FROM chain WHERE m > 0),
+thr AS (SELECT max(seq) AS t
+        FROM (SELECT seq FROM base ORDER BY seq LIMIT {ps})),
+aem AS (SELECT seq, CASE WHEN multi THEN NULL ELSE '' END AS bucket_id
+        FROM chain WHERE m = 0),
+a0 AS (SELECT seq, 'root' AS bucket_id FROM base
+       WHERE seq <= (SELECT t FROM thr)),
+r1 AS (SELECT * FROM base WHERE seq > (SELECT t FROM thr))""",
+    ]
+    for L in range(1, depth + 1):
+        parts.append(f"""
+n{L} AS (SELECT *, {node(L)} AS node FROM r{L}),
+s{L} AS (
+  SELECT *, (m = {L}) AS term,
+         row_number() OVER (PARTITION BY node ORDER BY seq) AS rn,
+         SUM(CASE WHEN m = {L} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY node ORDER BY seq
+                 ROWS UNBOUNDED PRECEDING) AS ntrank,
+         first_value(m = {L}) OVER (PARTITION BY node ORDER BY seq) AS first_term
+  FROM n{L}
+),
+p{L} AS (
+  SELECT seq, CASE WHEN NOT term THEN node
+                   WHEN rn = 1 OR NOT multi THEN node
+                   ELSE NULL END AS bucket_id
+  FROM s{L} WHERE term OR ntrank <= {cap}
+),
+rel{L} AS (
+  SELECT {node(L - 1) if L > 1 else "'root'"} AS from_bucket,
+         'Substring' AS relation_type, node AS to_bucket,
+         seq AS created_at_seq
+  FROM s{L} WHERE rn = 1
+),
+r{L + 1} AS (SELECT {carry} FROM s{L} WHERE NOT term AND ntrank > {cap})""")
+    parts.append(f"""
+valve AS (SELECT seq, {node(depth)} AS bucket_id FROM r{depth + 1})""")
+    with_block = "WITH " + ",".join(parts)
+    if out == "relations":
+        union = "\nUNION ALL\n".join(f"SELECT * FROM rel{L}" for L in range(1, depth + 1))
+        return f"{with_block}\n{union}"
+    union = "\nUNION ALL\n".join(
+        ["SELECT * FROM aem", "SELECT * FROM a0"]
+        + [f"SELECT * FROM p{L}" for L in range(1, depth + 1)]
+        + ["SELECT * FROM valve"]
+    )
+    return f"{with_block}\nSELECT seq AS doc_id, bucket_id FROM ({union})"
+
+
 def q_substring_trie(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    res = substring_trie(docs, "text", page_size=100, seq_col="doc_id")
-    out = res.assignments.select("doc_id", "bucket_id")
-    return out
+    res = substring_trie(
+        docs, "text", page_size=_TRIE_PS, max_depth=_TRIE_DEPTH, seq_col="doc_id"
+    )
+    return res.assignments.select("doc_id", "bucket_id")
 
 
 def q_substring_trie_relations(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    res = substring_trie(docs, "text", page_size=100, seq_col="doc_id")
+    res = substring_trie(
+        docs, "text", page_size=_TRIE_PS, max_depth=_TRIE_DEPTH, seq_col="doc_id"
+    )
     return res.relations.select(
         "from_bucket", "relation_type", "to_bucket", "created_at_seq"
     )
@@ -830,11 +939,19 @@ def q_token_prefix_trie(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn(
         "tokens",
         F.transform(
-            F.split(F.col("text"), " "), lambda w: F.pmod(F.hash(w), F.lit(256))
+            F.split(F.col("text"), " "),
+            lambda w: F.pmod(F.ascii(w) * 7 + F.length(w) * 13, F.lit(256)),
         ),
     )
-    res = token_prefix_trie(docs, "tokens", page_size=50, max_depth=6, seq_col="doc_id")
+    res = token_prefix_trie(
+        docs, "tokens", page_size=_TOK_PS, max_depth=_TOK_DEPTH, seq_col="doc_id"
+    )
     return res.assignments.select("doc_id", "bucket_id")
+
+
+SQL_SUBSTRING_TRIE = _trie_sql("char", _TRIE_PS, _TRIE_DEPTH, "assignments")
+SQL_SUBSTRING_TRIE_RELATIONS = _trie_sql("char", _TRIE_PS, _TRIE_DEPTH, "relations")
+SQL_TOKEN_PREFIX_TRIE = _trie_sql("token", _TOK_PS, _TOK_DEPTH, "assignments")
 
 
 # --------------------------------------------------------------------------
@@ -891,6 +1008,7 @@ ORACLES = {
     "lang_guess": SQL_LANG_GUESS,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
-    # substring_trie / substring_trie_relations / token_prefix_trie:
-    # intentionally absent → rows-only check (see module docstring)
+    "substring_trie": SQL_SUBSTRING_TRIE,
+    "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
+    "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,
 }
