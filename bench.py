@@ -45,6 +45,13 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the plans
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # warm the Python/Arrow worker pool (pandas import per worker) so the
+    # first applyInPandas query measures its plan, not interpreter startup
+    from pyspark.sql import functions as F
+
+    spark.range(0, 256, 1, 32).groupBy((F.col("id") % 32).alias("g")).applyInPandas(
+        lambda p: p, "id long, g long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -409,10 +409,10 @@ def _with_shingles(docs):
     return docs.where(F.size(words) >= 3).withColumn("_sh", shingles)
 
 
-def q_dedup_minhash(spark, sf_dir):
-    """Per-doc minhash signature bands (LSH buckets): docs sharing a band
-    key are near-dup candidates. Entirely JVM-side (md5 + array fns)."""
-    docs = _with_shingles(_t(spark, sf_dir, "documents"))
+def _minhash_stacked(docs):
+    """(doc_id, band, band_key) rows: the LSH band machinery shared by
+    dedup_minhash and the band-pruned ngram_jaccard. Entirely JVM-side
+    (md5 + array fns)."""
 
     def mh_expr(j: int):
         # closure (not a default arg!) — an extra lambda parameter would make
@@ -427,7 +427,7 @@ def q_dedup_minhash(spark, sf_dir):
         for b in range(_N_MINHASH // _BAND_SIZE)
     ]
     sig = docs.select("doc_id", *bands)
-    stacked = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -438,6 +438,12 @@ def q_dedup_minhash(spark, sf_dir):
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """Per-doc minhash signature bands (LSH buckets): docs sharing a band
+    key are near-dup candidates."""
+    stacked = _minhash_stacked(_with_shingles(_t(spark, sf_dir, "documents")))
     return stacked.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),

@@ -106,24 +106,27 @@ def _char_chain(value_col: str, ascii_fast: bool, max_depth: int) -> _Chain:
     def prepare(df: DataFrame) -> DataFrame:
         norm = normalize_substring_col(F.col(value_col), ascii_fast=ascii_fast)
         v = F.translate(norm, " ", "+")
-        # MATERIALIZE _v before the per-character lambda below references
-        # it: Catalyst's CollapseProject would otherwise inline the whole
-        # normalize chain into the lambda body, re-running regexp_replace
-        # once per character position (O(len²) regex work per row — 30×
-        # slower measured). localCheckpoint is the projection barrier; the
-        # cascade reuses this frame at every level anyway.
-        df = df.withColumn("_v", v).localCheckpoint()
+        df = df.withColumn("_v", v)
         # prefix lengths that are valid nodes: positions whose character is
         # not '+' (a prefix ending in '+' is never checked/created).
-        # NB: sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so the
-        # empty string must be guarded explicitly.
-        npos = F.when(
-            F.length("_v") > 0,
-            F.filter(
-                F.sequence(F.lit(1), F.length("_v")),
-                lambda i: F.col("_v").substr(i, F.lit(1)) != "+",
+        # Computed over split(_v, '') so the normalize chain is referenced
+        # ONCE per row — a position-indexed substr lambda would let
+        # CollapseProject inline the whole normalize chain into the lambda
+        # body, re-running regexp_replace once per character (O(len²) regex
+        # work per row, 30× slower measured; r1 used an eager
+        # localCheckpoint barrier instead, which cost a per-query job).
+        # split('', '') yields [''] — the filter drops it, so the empty
+        # string needs no guard.
+        chars = F.split(F.col("_v"), "")
+        npos = F.filter(
+            F.transform(
+                chars,
+                lambda c, i: F.when((c != "+") & (c != ""), i + 1).otherwise(
+                    F.lit(None).cast("int")
+                ),
             ),
-        ).otherwise(F.array().cast("array<int>"))
+            lambda x: x.isNotNull(),
+        )
         return (
             df.withColumn("_npos", npos)
             .withColumn("_m", F.size("_npos"))
@@ -474,8 +477,9 @@ def _run_cascade(
         row = state.where(F.col("_st_node") == root).collect()
         root_cnt = row[0]["_st_cnt"] if row else 0
     root_cap = max(page_size - root_cnt, 0)
+    total_work = work.count()
     thr = None
-    if root_cap > 0:
+    if root_cap > 0 and total_work > 0:
         head = (
             work.select(seq_col).orderBy(seq_col).limit(root_cap)
             .agg(F.max(seq_col).alias("thr"))
@@ -502,7 +506,11 @@ def _run_cascade(
             )
 
     level = 0
-    remaining_cnt = remaining.count()
+    # no job needed: seq is unique, so the root places exactly
+    # min(root_cap, total_work) rows
+    remaining_cnt = (
+        max(total_work - root_cap, 0) if thr is not None else total_work
+    )
     while True:
         level += 1
         if remaining_cnt == 0:
