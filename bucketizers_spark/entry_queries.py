@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -527,43 +529,69 @@ SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Candidate near-dup pairs within (lang, source) groups scored by
-    3-gram word-shingle Jaccard (distinct shingles), threshold 0.2."""
-    docs = _with_shingles(_t(spark, sf_dir, "documents")).select(
+    """Near-dup pairs scored by 3-gram word-shingle Jaccard (distinct
+    shingles, threshold 0.2), with candidate pairs pruned to docs sharing
+    at least one minhash LSH band key — a bucket join, not an all-pairs
+    self-join (the r1 version was O(n²) within (lang, source): a
+    scale-killer at 10^12 docs). Candidates must still share
+    (lang, source), preserving the blocking semantics."""
+    docs = _with_shingles(_t(spark, sf_dir, "documents"))
+    stacked = _minhash_stacked(docs)
+    cand = (
+        stacked.alias("x")
+        .join(
+            stacked.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    info = docs.select(
         "doc_id", "lang", "source", F.array_distinct("_sh").alias("sh")
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pairs = (
+        cand.join(info.alias("ai"), F.col("a_id") == F.col("ai.doc_id"))
+        .join(info.alias("bi"), F.col("b_id") == F.col("bi.doc_id"))
+        .where(
+            (F.col("ai.lang") == F.col("bi.lang"))
+            & (F.col("ai.source") == F.col("bi.source"))
+        )
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    inter = F.size(F.array_intersect(F.col("ai.sh"), F.col("bi.sh")))
+    union = F.size(F.col("ai.sh")) + F.size(F.col("bi.sh")) - inter
     jac = F.round(inter.cast("double") / union, 4)
     return pairs.select(
-        F.col("a.doc_id").alias("a_id"),
-        F.col("b.doc_id").alias("b_id"),
-        jac.alias("jaccard_r4"),
+        "a_id", "b_id", jac.alias("jaccard_r4")
     ).where(F.col("jaccard_r4") >= 0.2)
 
 
-SQL_NGRAM_JACCARD = """
-WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents),
-sh_t AS (
-  SELECT doc_id, lang, source,
-         list_distinct(list_transform(range(1, len(words) - 1),
-                       i -> array_to_string(words[i:i+2], ' '))) AS sh
-  FROM w WHERE len(words) >= 3
+SQL_NGRAM_JACCARD = f"""
+WITH {_sql_minhash_core()},
+stacked AS (
+  SELECT doc_id, 0 AS band, band0 AS band_key FROM bands_t
+  UNION ALL
+  SELECT doc_id, 1 AS band, band1 AS band_key FROM bands_t
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM stacked x JOIN stacked y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+info AS (
+  SELECT s.doc_id, d.lang, d.source, list_distinct(s.sh) AS sh
+  FROM sh_t s JOIN documents d USING (doc_id)
 ),
 pairs AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
-         len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS un
-  FROM sh_t a JOIN sh_t b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  SELECT a_id, b_id,
+         len(list_filter(ai.sh, x -> list_contains(bi.sh, x))) AS inter,
+         len(ai.sh) + len(bi.sh)
+           - len(list_filter(ai.sh, x -> list_contains(bi.sh, x))) AS un
+  FROM cand
+  JOIN info ai ON ai.doc_id = a_id
+  JOIN info bi ON bi.doc_id = b_id
+  WHERE ai.lang = bi.lang AND ai.source = bi.source
 )
 SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard_r4
 FROM pairs WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.2
@@ -633,68 +661,149 @@ SELECT query_id, vec_id, sim_r4, rk FROM (
 """
 
 
-def q_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucket per vector: 8 leading-dimension sign bits — the
-    scale path that prunes the candidate set before exact rescoring."""
-    emb = _t(spark, sf_dir, "embeddings")
-    bits = [
-        F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(8)
+# Sign-LSH hyperplanes: random ±1 weights per (band, bit, dim), generated
+# once from a pinned seed and embedded as literals in BOTH dialects.
+# Random hyperplanes decorrelate the bits (leading embedding dimensions are
+# correlated — the r1 8-leading-dim version had 256 effective buckets);
+# 16 bits/band ≈ 65k buckets, 4 bands ≈ 93% recall at cos 0.99. At
+# production scale bits/band grows with log2(N / target_bucket_rows) —
+# the band count trades recall for join fan-in.
+_EMB_DIM = 64
+_LSH_BITS = 16
+_LSH_BANDS = 4
+
+
+def _lsh_hyperplanes() -> list[list[list[float]]]:
+    import random
+
+    rng = random.Random(20260816)
+    return [
+        [
+            [rng.choice((-1.0, 1.0)) for _ in range(_EMB_DIM)]
+            for _ in range(_LSH_BITS)
+        ]
+        for _ in range(_LSH_BANDS)
     ]
-    return emb.select("vec_id", F.concat(*bits).alias("bucket"))
 
 
-SQL_ANN_LSH = """
-SELECT vec_id,
-       """ + " || ".join(
-    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
-) + """ AS bucket
-FROM embeddings
+_HYPER = _lsh_hyperplanes()
+
+
+_LSH_UDF_CACHE: list = []
+
+
+def _lsh_buckets_udf():
+    """Vectorized Arrow UDF: one (batch × dim) @ (dim × bands·bits) numpy
+    matmul yields every sign bit at once — the production path for
+    embedding-heavy ops (64 separate JVM fold expressions plan and run an
+    order of magnitude slower). Returns array<string>: one 16-bit bucket
+    per band. Created lazily (pandas_udf needs an active session)."""
+    if _LSH_UDF_CACHE:
+        return _LSH_UDF_CACHE[0]
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.array([h for band in _HYPER for h in band], dtype=np.float64)
+
+    @pandas_udf("array<string>")
+    def f(s: pd.Series) -> pd.Series:
+        M = np.vstack(s.to_numpy()).astype(np.float64)
+        bits = np.where((M @ H.T) >= 0, "1", "0")
+        return pd.Series(
+            [
+                [
+                    "".join(r[b * _LSH_BITS : (b + 1) * _LSH_BITS])
+                    for b in range(_LSH_BANDS)
+                ]
+                for r in bits
+            ]
+        )
+
+    _LSH_UDF_CACHE.append(f)
+    return f
+
+
+def _sql_lsh_weights() -> str:
+    rows = []
+    for b in range(_LSH_BANDS):
+        for k in range(_LSH_BITS):
+            w = "[" + ", ".join(str(x) for x in _HYPER[b][k]) + "]::DOUBLE[]"
+            rows.append(f"({b}, {k}, {w})")
+    return ",\n".join(rows)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucket per (vector, band): random-hyperplane sign bits —
+    the scale path that prunes the candidate set before exact rescoring."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", _lsh_buckets_udf()(F.col("embedding")).alias("_bk")
+    ).select("vec_id", F.posexplode("_bk").alias("band", "bucket"))
+
+
+# weights as a VALUES CTE + native list_dot_product: evaluating the weight
+# lists as per-bit literals inside a lambda re-parses them per element
+# (measured ~30× slower on the DuckDB side)
+SQL_ANN_LSH = f"""
+WITH wts(band, bit, w) AS (VALUES {_sql_lsh_weights()}),
+dots AS (
+  SELECT e.vec_id, w.band, w.bit,
+         list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                          w.w) AS dot
+  FROM embeddings e CROSS JOIN wts w
+)
+SELECT vec_id, band,
+       string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY bit) AS bucket
+FROM dots GROUP BY vec_id, band
 """
 
 
 def q_emb_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: candidates pruned to same sign-LSH
-    bucket (8 leading-dimension sign bits), then exact cosine >= 0.3 —
-    the LSH-bucket join is the 100 TB path (no all-pairs product)."""
+    """Embedding-cosine near-dup pairs: candidates pruned to vectors
+    sharing a sign-LSH band bucket (random hyperplanes, 16 bits × 4
+    bands), then exact cosine >= 0.3 — a bucket join, no all-pairs
+    product."""
     emb = _t(spark, sf_dir, "embeddings")
-    bits = [
-        F.when(F.element_at("embedding", i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(8)
-    ]
-    b = emb.select("vec_id", "embedding", F.concat(*bits).alias("bucket"))
-    a = b.alias("a")
-    c = b.alias("c")
-    pairs = a.join(
-        c,
-        (F.col("a.bucket") == F.col("c.bucket"))
-        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    buckets = q_ann_lsh(spark, sf_dir)
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        .distinct()
     )
-    cos = F.round(_cosine(F.col("a.embedding"), F.col("c.embedding")), 4)
-    return pairs.select(
-        F.col("a.vec_id").alias("a_id"),
-        F.col("c.vec_id").alias("b_id"),
-        cos.alias("cos_r4"),
-    ).where(F.col("cos_r4") >= 0.3)
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "a_id").join(eb, "b_id")
+    cos = F.round(_cosine(F.col("ea"), F.col("eb")), 4)
+    return pairs.select("a_id", "b_id", cos.alias("cos_r4")).where(
+        F.col("cos_r4") >= 0.3
+    )
 
-
-_SIGN_BITS_SQL = " || ".join(
-    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
-)
 
 SQL_EMB_NEAR_DUP = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_SIGN_BITS_SQL} AS bucket FROM embeddings
+WITH bk AS ({SQL_ANN_LSH}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM bk x JOIN bk y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 ),
 p AS (
-  SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+  SELECT a_id, b_id,
     round(
       list_sum(list_transform(range(1, len(a.embedding) + 1),
                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
       4) AS cos_r4
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  FROM cand
+  JOIN embeddings a ON a.vec_id = a_id
+  JOIN embeddings c ON c.vec_id = b_id
 )
 SELECT a_id, b_id, cos_r4 FROM p WHERE cos_r4 >= 0.3
 """
