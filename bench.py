@@ -49,9 +49,9 @@ def main() -> None:
     # first applyInPandas query measures its plan, not interpreter startup
     from pyspark.sql import functions as F
 
-    spark.range(0, 256, 1, 32).groupBy((F.col("id") % 32).alias("g")).applyInPandas(
-        lambda p: p, "id long, g long"
-    ).count()
+    spark.range(0, 256, 1, 32).withColumn("g", F.col("id") % 32).groupBy(
+        "g"
+    ).applyInPandas(lambda p: p, "id long, g long").count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -44,7 +44,16 @@ _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Test-SF artifact mitigation: the fixture tables are single-row-group
+    # parquet files, which scan as ONE split and serialize every narrow map
+    # onto one core (maxPartitionBytes cannot split below a row group). A
+    # production 100 TB scan has thousands of splits, so this branch never
+    # fires there; here the tiny shuffle buys full-core expression work.
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(p, 8):
+        df = df.repartition(p)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -416,19 +425,35 @@ def _minhash_stacked(docs):
     dedup_minhash and the band-pruned ngram_jaccard. Entirely JVM-side
     (md5 + array fns)."""
 
-    def mh_expr(j: int):
-        # closure (not a default arg!) — an extra lambda parameter would make
-        # pyspark treat it as the (element, index) two-arg form
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
-        )
-
-    mh = [mh_expr(j) for j in range(_N_MINHASH)]
+    # ONE md5 per shingle; the 8 minhash "permutations" are its 8 disjoint
+    # 4-hex-char slices (16 independent bits each — plenty for banding, and
+    # 8x fewer digest evaluations than 8 salted md5s: the digest dominated
+    # the r1 profile at 5-6s). The md5 array is materialized by a transform
+    # FIRST so the fold's 8 substrings slice a lambda variable instead of
+    # re-hashing (no common-subexpression elimination inside higher-order
+    # lambdas). Narrow map — no shuffle, no explode.
+    md5s = F.transform(F.col("_sh"), lambda s: F.md5(s))
+    sentinel = F.array(*[F.lit("￿") for _ in range(_N_MINHASH)])
+    mh_arr = F.aggregate(
+        md5s,
+        sentinel,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    h.substr(F.lit(4 * j + 1), F.lit(4))
+                    for j in range(_N_MINHASH)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    mh = [F.element_at(F.col("_mh"), j + 1) for j in range(_N_MINHASH)]
     bands = [
         F.md5(F.concat(*mh[b * _BAND_SIZE : (b + 1) * _BAND_SIZE])).alias(f"band{b}")
         for b in range(_N_MINHASH // _BAND_SIZE)
     ]
-    sig = docs.select("doc_id", *bands)
+    sig = docs.withColumn("_mh", mh_arr).select("doc_id", *bands)
     return sig.select(
         "doc_id",
         F.explode(
@@ -455,7 +480,7 @@ def q_dedup_minhash(spark, sf_dir):
 
 def _sql_minhash_core() -> str:
     mh = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh{j}"
+        f"list_min(list_transform(hs, h -> substr(h, {4 * j + 1}, 4))) AS mh{j}"
         for j in range(_N_MINHASH)
     )
     bands = ", ".join(
@@ -470,7 +495,8 @@ def _sql_minhash_core() -> str:
                           i -> array_to_string(words[i:i+2], ' ')) AS sh
     FROM w WHERE len(words) >= 3
   ),
-  mh_t AS (SELECT doc_id, {mh} FROM sh_t),
+  hs_t AS (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs FROM sh_t),
+  mh_t AS (SELECT doc_id, {mh} FROM hs_t),
   bands_t AS (SELECT doc_id, {bands} FROM mh_t)
 """
 
@@ -536,7 +562,9 @@ def q_ngram_jaccard(spark, sf_dir):
     scale-killer at 10^12 docs). Candidates must still share
     (lang, source), preserving the blocking semantics."""
     docs = _with_shingles(_t(spark, sf_dir, "documents"))
-    stacked = _minhash_stacked(docs)
+    # materialize the (small) signature frame once — a self-join would
+    # otherwise evaluate the whole minhash pipeline on BOTH sides
+    stacked = _minhash_stacked(docs).localCheckpoint()
     cand = (
         stacked.alias("x")
         .join(

@@ -19,7 +19,7 @@ non-scalable path (at 10^12 rows you stamp seq at the source, full stop).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bucketizers_spark.operators.core import (
@@ -27,12 +27,17 @@ from bucketizers_spark.operators.core import (
     empty_seals,
     relation_row,
 )
+from bucketizers_spark.operators.rank import with_global_rank0
 
 
-def _rank0(df: DataFrame, seq_col: str, dense_seq: bool):
+def _with_rank0(df: DataFrame, seq_col: str, dense_seq: bool) -> DataFrame:
+    """Add a 0-based arrival rank as ``_rank0``. With a dense source-stamped
+    seq this is a free narrow map (the production path); otherwise the
+    two-phase range-partitioned rank (operators/rank.py) — distributed,
+    never a single-task sort."""
     if dense_seq:
-        return F.col(seq_col)
-    return F.row_number().over(Window.orderBy(F.col(seq_col))) - F.lit(1)
+        return df.withColumn("_rank0", F.col(seq_col).cast("long"))
+    return with_global_rank0(df, seq_col, out_col="_rank0")
 
 
 def _boundary_relations(
@@ -68,9 +73,9 @@ def basic_pager(
 ) -> BucketizeResult:
     """Page members by arrival order: bucket = str(floor(rank / page_size))."""
     spark = df.sparkSession
-    rank0 = _rank0(df, seq_col, dense_seq)
     assigned = (
-        df.withColumn("_page", F.floor(rank0 / F.lit(page_size)))
+        _with_rank0(df, seq_col, dense_seq)
+        .withColumn("_page", F.floor(F.col("_rank0") / F.lit(page_size)))
         .withColumn("_seq_for_rel", F.col(seq_col))
         .withColumn("bucket_id", F.col("_page").cast("string"))
     )
@@ -79,7 +84,7 @@ def basic_pager(
         bucket_expr=lambda p: p,
         from_expr=lambda p: (p - 1).cast("string"),
     )
-    assignments = assigned.drop("_page", "_seq_for_rel")
+    assignments = assigned.drop("_page", "_seq_for_rel", "_rank0")
     return BucketizeResult(assignments, relations, empty_seals(spark))
 
 
@@ -100,9 +105,9 @@ def fallback_pager(
     ``dense_seq`` only applies if the subset itself is densely numbered.
     """
     spark = df.sparkSession
-    rank0 = _rank0(df, seq_col, dense_seq)
     assigned = (
-        df.withColumn("_page", F.floor(rank0 / F.lit(page_size)))
+        _with_rank0(df, seq_col, dense_seq)
+        .withColumn("_page", F.floor(F.col("_rank0") / F.lit(page_size)))
         .withColumn("_seq_for_rel", F.col(seq_col))
         .withColumn("bucket_id", F.concat(F.lit("bucketless-"), F.col("_page")))
     )
@@ -120,5 +125,5 @@ def fallback_pager(
             )
         )
     )
-    assignments = assigned.drop("_page", "_seq_for_rel")
+    assignments = assigned.drop("_page", "_seq_for_rel", "_rank0")
     return BucketizeResult(assignments, relations, empty_seals(spark))

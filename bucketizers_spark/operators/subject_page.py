@@ -21,21 +21,20 @@ the (small) distinct-bucket frame, not the member frame.
 
 Scale note: the member-frame path is shuffle-free; only the distinct-bucket
 relation derivation shuffles, and that frame is |buckets| ≪ |members|. The
-rank window over distinct buckets is a single-partition sort of |buckets|
-rows — if bucket cardinality itself is huge, swap in a two-phase range
-partitioned rank; at 10^12 members with page-sized buckets this frame is
-~10^7-10^8 rows, still fine for a window after a groupBy.
+first-seen rank uses the two-phase range-partitioned rank
+(operators/rank.py) so even a 10^9-bucket frame never sorts in one task.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bucketizers_spark.operators.core import (
     BucketizeResult,
     relation_row,
 )
+from bucketizers_spark.operators.rank import with_global_rank0
 from bucketizers_spark.functions.normalize import normalize_subject_col
 
 
@@ -73,8 +72,10 @@ def subject_page(
             F.min_by(raw_value, F.col(seq_col)).alias("value"),
         )
     )
-    w = Window.orderBy("first_seq")
-    ranked = first_seen.withColumn("rank0", F.row_number().over(w) - F.lit(1))
+    # two-phase range-partitioned rank: the distinct-bucket frame is
+    # ~10^7-10^10 rows at 10^12 members — a bare Window.orderBy would sort
+    # it in ONE task (r1 VERDICT scale-killer #5)
+    ranked = with_global_rank0(first_seen, "first_seq")
     ranked = ranked.withColumn(
         "root_idx", F.floor(F.col("rank0") / F.lit(max_relations))
     )
