@@ -18,7 +18,7 @@ A columnar engine separates them into three typed DataFrames (FIXTURES.md F4):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from typing import Callable, Union
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,11 +43,43 @@ SEALS_SCHEMA = T.StructType(
 )
 
 
-@dataclass
+_Frame = Union[DataFrame, Callable[[], DataFrame]]
+
+
 class BucketizeResult:
-    assignments: DataFrame
-    relations: DataFrame
-    seals: DataFrame
+    """Operator result bundle. ``relations``/``seals`` accept a zero-arg
+    factory instead of a DataFrame: some operators (subject-page) must run
+    eager work (the two-phase rank's materialize + offset collect) to BUILD
+    the relation frames — a consumer that only reads ``assignments`` (the
+    hot path: member routing) must not pay for it. The factory is invoked
+    and memoized on first attribute access."""
+
+    def __init__(
+        self, assignments: DataFrame, relations: _Frame, seals: _Frame
+    ) -> None:
+        self.assignments = assignments
+        self._relations = relations
+        self._seals = seals
+
+    @property
+    def relations(self) -> DataFrame:
+        if callable(self._relations):
+            self._relations = self._relations()
+        return self._relations
+
+    @relations.setter
+    def relations(self, value: _Frame) -> None:
+        self._relations = value
+
+    @property
+    def seals(self) -> DataFrame:
+        if callable(self._seals):
+            self._seals = self._seals()
+        return self._seals
+
+    @seals.setter
+    def seals(self, value: _Frame) -> None:
+        self._seals = value
 
 
 def empty_relations(spark) -> DataFrame:

@@ -13,8 +13,9 @@ broadcast back as a literal map. Exact for unique order keys (ties stay
 within one range partition, so resolution matches the single-window form:
 arbitrary among equals).
 
-Cost: one extra pass over the frame (the count) — the frame is persisted
-between the two passes and handed back for the caller to unpersist.
+Cost: one extra pass over the frame (the count) — the frame is
+materialized (localCheckpoint) between the two passes; see the inline
+comment for why persist() is the wrong tool here.
 """
 
 from __future__ import annotations
@@ -23,26 +24,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Below this row count a single-task window sort is cheaper than the
+#: two-phase machinery (range-sample pass + shuffle + checkpoint + offset
+#: collect ≈ 4 extra jobs): 2M short rows sort in well under a second on
+#: one core and fit trivially in executor memory.
+SINGLE_TASK_THRESHOLD = 2_000_000
+
+
 def with_global_rank0(
     df: DataFrame,
     order_col: str,
     *,
     out_col: str = "rank0",
     partitions: int | None = None,
+    single_task_threshold: int | None = None,
 ) -> DataFrame:
     """Return ``df`` with a 0-based dense global rank by ``order_col``.
 
-    The returned frame is persisted (two passes share the shuffle); it is
-    registered on ``df.sparkSession`` for bulk cleanup via ``unpersist()``
-    by the caller if needed — at query scope the persist is dropped with
-    the session.
-    """
+    Hybrid: one cheap count picks between a single-task window sort
+    (small frames) and the two-phase range-partitioned rank (everything
+    else)."""
     spark = df.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism
+    if single_task_threshold is None:
+        single_task_threshold = SINGLE_TASK_THRESHOLD  # runtime-patchable
+    if single_task_threshold and df.count() <= single_task_threshold:
+        w = Window.orderBy(order_col)
+        return df.withColumn(
+            out_col, (F.row_number().over(w) - 1).cast("long")
+        )
+    # localCheckpoint, not persist: (a) the range partitioner SAMPLES its
+    # boundaries, so the frame must never be recomputed between the count
+    # pass and the rank pass (different boundaries would invalidate the
+    # collected offsets); truncated lineage makes recompute impossible;
+    # (b) persist() registers the plan in the CacheManager, whose lookup
+    # against every later query measurably poisons unrelated plan analysis
+    # when these frames leak (observed: 45s plans after a dozen queries).
     parted = (
         df.repartitionByRange(p, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     counts = {
         r["_pid"]: r["cnt"]

@@ -63,53 +63,67 @@ def subject_page(
     )
     assignments = df.withColumn("bucket_id", bucket)
 
-    # first sighting per bucket, in arrival order (hypermediaControlsMap.has,
-    # ts:82-90): groupBy keeps the earliest seq and that row's raw value
-    first_seen = (
-        assignments.groupBy("bucket_id")
-        .agg(
+    # The relation/seal derivation needs the first-seen rank, whose
+    # two-phase form runs EAGER work (materialize + offset collect) — so it
+    # is built lazily: a consumer that only routes members never pays.
+    state: dict = {}
+
+    def _ranked() -> DataFrame:
+        if "ranked" in state:
+            return state["ranked"]
+        # first sighting per bucket, in arrival order
+        # (hypermediaControlsMap.has, ts:82-90): groupBy keeps the earliest
+        # seq and that row's raw value
+        first_seen = assignments.groupBy("bucket_id").agg(
             F.min(F.col(seq_col)).alias("first_seq"),
             F.min_by(raw_value, F.col(seq_col)).alias("value"),
         )
-    )
-    # two-phase range-partitioned rank: the distinct-bucket frame is
-    # ~10^7-10^10 rows at 10^12 members — a bare Window.orderBy would sort
-    # it in ONE task (r1 VERDICT scale-killer #5)
-    ranked = with_global_rank0(first_seen, "first_seq")
-    ranked = ranked.withColumn(
-        "root_idx", F.floor(F.col("rank0") / F.lit(max_relations))
-    )
-
-    equal_rels = ranked.select(
-        *relation_row(
-            _root_name(root, F.col("root_idx")),
-            "EqualThan",
-            F.col("bucket_id"),
-            values=F.array(F.col("value")),
-            path=F.lit(property_path) if property_path else None,
-            seq=F.col("first_seq"),
+        # two-phase range-partitioned rank: the distinct-bucket frame is
+        # ~10^7-10^10 rows at 10^12 members — a bare Window.orderBy would
+        # sort it in ONE task (r1 VERDICT scale-killer #5)
+        ranked = with_global_rank0(first_seen, "first_seq").withColumn(
+            "root_idx", F.floor(F.col("rank0") / F.lit(max_relations))
         )
-    )
+        state["ranked"] = ranked
+        return ranked
 
-    # one rotation Relation + one seal per root turnover (ts:55-72); the
-    # rotation happens with the first bucket of each new root index
-    turnovers = (
-        ranked.where(F.col("root_idx") >= 1)
-        .groupBy("root_idx")
-        .agg(F.min("first_seq").alias("created_at_seq"))
-    )
-    rotation_rels = turnovers.select(
-        *relation_row(
-            _root_name(root, F.col("root_idx") - 1),
-            "Relation",
-            _root_name(root, F.col("root_idx")),
-            seq=F.col("created_at_seq"),
+    def _turnovers() -> DataFrame:
+        # one rotation Relation + one seal per root turnover (ts:55-72);
+        # the rotation happens with the first bucket of each new root index
+        if "turnovers" not in state:
+            state["turnovers"] = (
+                _ranked()
+                .where(F.col("root_idx") >= 1)
+                .groupBy("root_idx")
+                .agg(F.min("first_seq").alias("created_at_seq"))
+            )
+        return state["turnovers"]
+
+    def _relations() -> DataFrame:
+        equal_rels = _ranked().select(
+            *relation_row(
+                _root_name(root, F.col("root_idx")),
+                "EqualThan",
+                F.col("bucket_id"),
+                values=F.array(F.col("value")),
+                path=F.lit(property_path) if property_path else None,
+                seq=F.col("first_seq"),
+            )
         )
-    )
-    seals = turnovers.select(
-        _root_name(root, F.col("root_idx") - 1).alias("bucket_id"),
-        F.col("created_at_seq").alias("sealed_at_seq"),
-    )
-    return BucketizeResult(
-        assignments, equal_rels.unionByName(rotation_rels), seals
-    )
+        rotation_rels = _turnovers().select(
+            *relation_row(
+                _root_name(root, F.col("root_idx") - 1),
+                "Relation",
+                _root_name(root, F.col("root_idx")),
+                seq=F.col("created_at_seq"),
+            )
+        )
+        return equal_rels.unionByName(rotation_rels)
+
+    def _seals() -> DataFrame:
+        return _turnovers().select(
+            _root_name(root, F.col("root_idx") - 1).alias("bucket_id"),
+            F.col("created_at_seq").alias("sealed_at_seq"),
+        )
+
+    return BucketizeResult(assignments, _relations, _seals)

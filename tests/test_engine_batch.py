@@ -342,3 +342,50 @@ class TestSubtrieWalk:
         )
         assert collect_assignments(res.assignments) == exp
         assert rel_set(res.relations) == oracle_rel_set(orels)
+
+
+class TestGlobalRank:
+    def test_two_phase_rank_matches_window(self, spark):
+        """The range-partitioned two-phase rank must equal the single-task
+        window rank exactly (unique keys, unsorted multi-partition input)."""
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.operators.rank import with_global_rank0
+
+        df = (
+            spark.range(0, 5000)
+            .withColumn("k", (F.col("id") * 2654435761) % 1000003)
+            .repartition(16)
+            .select(F.col("k").alias("key"))
+        )
+        two = {
+            r.key: r.rank0
+            for r in with_global_rank0(
+                df, "key", single_task_threshold=0
+            ).collect()
+        }
+        one = {
+            r.key: r.rank0
+            for r in with_global_rank0(df, "key").collect()
+        }
+        assert two == one and len(two) == 5000
+
+    def test_two_phase_drives_basic_pager(self, spark):
+        """basic_pager with the two-phase rank forced (threshold 0 via a
+        tiny monkeypatch) matches the dense-seq narrow map."""
+        import bucketizers_spark.operators.rank as rank_mod
+        from bucketizers_spark.operators.basic import basic_pager
+
+        df = spark.range(0, 997).withColumnRenamed("id", "seq").repartition(8)
+        old = rank_mod.SINGLE_TASK_THRESHOLD
+        try:
+            rank_mod.SINGLE_TASK_THRESHOLD = 0
+            import importlib
+
+            a = basic_pager(df, page_size=50, dense_seq=False)
+            got = {r.seq: r.bucket_id for r in a.assignments.collect()}
+        finally:
+            rank_mod.SINGLE_TASK_THRESHOLD = old
+        b = basic_pager(df, page_size=50, dense_seq=True)
+        want = {r.seq: r.bucket_id for r in b.assignments.collect()}
+        assert got == want

@@ -344,3 +344,135 @@ class TestStreamingWindows:
         }
         for r in sealed.collect():
             assert want[(r.source, r.session_start)] == r.n_members
+
+
+class TestStreamStreamJoin:
+    def test_windowed_join_equals_batch(self, spark, workdir):
+        """Stream–stream stateful join (north_rule): member stream joined
+        to a side stream on equal tumbling windows + source key; the
+        streaming result must equal the batch join of the concatenated
+        inputs (watermark wide enough that no match is dropped)."""
+        from bucketizers_spark.sources.synthetic import token_stream_pdf
+        from bucketizers_spark.streaming.join import windowed_stream_join
+
+        left_pdf = token_stream_pdf(400, seed=7)
+        right_pdf = token_stream_pdf(120, seed=8)
+        ldir = os.path.join(workdir, "left")
+        rdir = os.path.join(workdir, "right")
+        stage_chunks(left_pdf, ldir, n_chunks=3)
+        stage_chunks(right_pdf, rdir, n_chunks=2)
+
+        left = read_token_stream(spark, ldir, max_files_per_trigger=1).select(
+            F.col("seq").alias("l_seq"), "event_time", "source"
+        )
+        right = read_token_stream(spark, rdir, max_files_per_trigger=1).select(
+            F.col("seq").alias("r_seq"),
+            F.col("event_time").alias("r_time"),
+            "source",
+        )
+        joined = windowed_stream_join(
+            left,
+            right,
+            left_time="event_time",
+            right_time="r_time",
+            duration="10 minutes",
+            left_watermark="4 hours",
+            right_watermark="4 hours",
+            keys=["source"],
+        ).select("l_seq", "r_seq", "source")
+
+        out = os.path.join(workdir, "joined")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.l_seq, r.r_seq) for r in spark.read.parquet(out).collect()}
+
+        lb = spark.createDataFrame(left_pdf, TOKEN_STREAM_SCHEMA).select(
+            F.col("seq").alias("l_seq"),
+            F.window("event_time", "10 minutes").alias("w"),
+            "source",
+        )
+        rb = spark.createDataFrame(right_pdf, TOKEN_STREAM_SCHEMA).select(
+            F.col("seq").alias("r_seq"),
+            F.window("event_time", "10 minutes").alias("w"),
+            "source",
+        )
+        want = {
+            (r.l_seq, r.r_seq)
+            for r in lb.join(rb, ["w", "source"]).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+
+    def test_interval_join_matches_batch(self, spark, workdir):
+        """Equality-on-bucket + event-time-range stream–stream join."""
+        from bucketizers_spark.sources.synthetic import token_stream_pdf
+        from bucketizers_spark.streaming.join import interval_bucket_join
+
+        left_pdf = token_stream_pdf(300, seed=9)
+        right_pdf = token_stream_pdf(80, seed=10)
+        ldir = os.path.join(workdir, "left")
+        rdir = os.path.join(workdir, "right")
+        stage_chunks(left_pdf, ldir, n_chunks=2)
+        stage_chunks(right_pdf, rdir, n_chunks=2)
+
+        left = read_token_stream(spark, ldir).select(
+            F.col("seq").alias("l_seq"), "event_time", "source"
+        )
+        right = read_token_stream(spark, rdir).select(
+            F.col("seq").alias("r_seq"),
+            F.col("event_time").alias("r_time"),
+            F.col("source").alias("r_source"),
+        ).withColumnRenamed("r_source", "source2")
+        joined = interval_bucket_join(
+            left.withColumnRenamed("source", "k"),
+            right.withColumnRenamed("source2", "k"),
+            key="k",
+            left_time="event_time",
+            right_time="r_time",
+            left_watermark="4 hours",
+            right_watermark="4 hours",
+            max_delay="5 minutes",
+        ).select("l_seq", "r_seq")
+        out = os.path.join(workdir, "joined")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.l_seq, r.r_seq) for r in spark.read.parquet(out).collect()}
+
+        lb = spark.createDataFrame(left_pdf, TOKEN_STREAM_SCHEMA)
+        rb = spark.createDataFrame(right_pdf, TOKEN_STREAM_SCHEMA)
+        want = {
+            (r["l_seq"], r["r_seq"])
+            for r in lb.alias("a")
+            .join(
+                rb.alias("b"),
+                (F.col("a.source") == F.col("b.source"))
+                & (
+                    F.col("b.event_time")
+                    >= F.col("a.event_time") - F.expr("INTERVAL 5 minutes")
+                )
+                & (
+                    F.col("b.event_time")
+                    <= F.col("a.event_time") + F.expr("INTERVAL 5 minutes")
+                ),
+            )
+            .select(
+                F.col("a.seq").alias("l_seq"), F.col("b.seq").alias("r_seq")
+            )
+            .collect()
+        }
+        assert got == want
+        assert len(got) > 0
