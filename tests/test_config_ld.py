@@ -1,0 +1,159 @@
+"""LD/Turtle config front door (EP2) — mirrors the reference's own factory
+tests (/root/reference/packages/bucketizers/__tests__/factory.test.ts):
+each strategy's Turtle config validates against the shape and builds the
+right operator; an unknown bucketType yields no valid shape and the build
+raises."""
+
+from __future__ import annotations
+
+import pytest
+
+from bucketizers_spark.config import ConfigError
+from bucketizers_spark.config_ld import (
+    create_bucketizer_ld,
+    get_valid_shape,
+    parse_turtle,
+    spec_from_ld,
+)
+
+_PREFIXES = """
+@prefix ex: <https://example.org/ns#> .
+@prefix ldes: <https://w3id.org/ldes#> .
+@prefix tree: <https://w3id.org/tree#> .
+"""
+
+BASIC = _PREFIXES + """
+ex:BucketizeStrategy a ldes:BucketizeStrategy;
+    ldes:bucketType ldes:basic;
+    ldes:bucketProperty ldes:bucket;
+    ldes:pageSize 50.
+"""
+
+SUBJECT = _PREFIXES + """
+ex:BucketizeStrategy a ldes:BucketizeStrategy;
+    ldes:bucketType ldes:subject;
+    ldes:bucketProperty ldes:bucket;
+    tree:path ldes:Bucket2;
+    ldes:pageSize 50.
+"""
+
+SUBJECT_PATH_LIST = _PREFIXES + """
+ex:BucketizeStrategy a ldes:BucketizeStrategy;
+    ldes:bucketType ldes:subject;
+    ldes:bucketProperty ldes:bucket;
+    tree:path (ex:point ex:x);
+    ldes:pageSize 50.
+"""
+
+SUBSTRING = _PREFIXES + """
+ex:BucketizeStrategy a ldes:BucketizeStrategy;
+    ldes:bucketType ldes:substring;
+    ldes:bucketProperty ldes:bucket;
+    tree:path ldes:Bucket2;
+    ldes:pageSize 50.
+"""
+
+GEO = _PREFIXES + """
+ex:BucketizeStrategy a ldes:BucketizeStrategy;
+    ldes:bucketType ldes:geospatial;
+    ldes:bucketProperty ldes:bucket;
+    tree:path ldes:Bucket2;
+    ldes:zoomLevel 2;
+    ldes:pageSize 50.
+"""
+
+INVALID = _PREFIXES + """
+ex:BucketizeStrategy a ldes:BucketizeStrategy;
+    ldes:bucketType ldes:something;
+    ldes:pageSize 50.
+"""
+
+
+class TestTurtleParser:
+    def test_parses_triples_and_collections(self):
+        triples = parse_turtle(SUBJECT_PATH_LIST)
+        paths = [
+            o
+            for (s, p, o) in triples
+            if p == "https://w3id.org/tree#path"
+        ]
+        assert paths == [
+            ["https://example.org/ns#point", "https://example.org/ns#x"]
+        ]
+        # integer literal with statement-terminating dot ('50.')
+        sizes = [o for (_, p, o) in triples if p.endswith("#pageSize")]
+        assert sizes == [50]
+
+    def test_comments_and_unknown_prefix(self):
+        triples = parse_turtle(_PREFIXES + "# a comment\nex:a ldes:pageSize 3 .")
+        assert triples[-1][2] == 3
+        with pytest.raises(ConfigError):
+            parse_turtle("nope:a nope:b nope:c .")
+
+
+class TestShapeGate:
+    @pytest.mark.parametrize("rdf", [BASIC, SUBJECT, SUBJECT_PATH_LIST, SUBSTRING, GEO])
+    def test_config_is_valid(self, rdf):
+        assert get_valid_shape(parse_turtle(rdf)) is not None
+
+    def test_invalid_type_gets_flagged(self):
+        # factory.test.ts:231-256
+        assert get_valid_shape(parse_turtle(INVALID)) is None
+        with pytest.raises(ConfigError):
+            spec_from_ld(parse_turtle(INVALID))
+
+    def test_geo_requires_zoom(self):
+        rdf = GEO.replace("    ldes:zoomLevel 2;\n", "")
+        assert get_valid_shape(parse_turtle(rdf)) is None
+
+    def test_ext_requires_path(self):
+        rdf = SUBSTRING.replace("    tree:path ldes:Bucket2;\n", "")
+        assert get_valid_shape(parse_turtle(rdf)) is None
+
+
+class TestSpecMapping:
+    def test_spec_fields(self):
+        spec = spec_from_ld(parse_turtle(GEO))
+        assert spec.strategy == "geospatial"
+        assert spec.zoom == 2
+        assert spec.page_size == 50
+        assert spec.column == "Bucket2"
+        assert spec.property_path == "<https://w3id.org/ldes#Bucket2>"
+
+    def test_path_list_takes_last_segment(self):
+        spec = spec_from_ld(parse_turtle(SUBJECT_PATH_LIST))
+        assert spec.column == "x"
+        assert spec.property_path == (
+            "(<https://example.org/ns#point> <https://example.org/ns#x>)"
+        )
+
+
+class TestBuildLD:
+    def test_parses_from_linked_data(self, spark):
+        df = spark.range(0, 120).withColumnRenamed("id", "seq")
+        res = create_bucketizer_ld(df, BASIC)
+        pages = {r.bucket_id for r in res.assignments.collect()}
+        assert pages == {"0", "1", "2"}
+
+    def test_subject_from_linked_data(self, spark):
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(0, 40)
+            .withColumnRenamed("id", "seq")
+            .withColumn(
+                "Bucket2",
+                F.concat(F.lit("http://x.org/u/"), (F.col("seq") % 4).cast("string")),
+            )
+        )
+        res = create_bucketizer_ld(df, SUBJECT)
+        got = {r.bucket_id for r in res.assignments.collect()}
+        assert got == {"0-s0", "1-s0", "2-s0", "3-s0"}
+        # EqualThan relation per bucket carries the property path
+        rels = res.relations.where("relation_type = 'EqualThan'").collect()
+        assert {r.path for r in rels} == {"<https://w3id.org/ldes#Bucket2>"}
+
+    def test_invalid_raises(self, spark):
+        df = spark.range(0, 10).withColumnRenamed("id", "seq")
+        with pytest.raises(ConfigError):
+            create_bucketizer_ld(df, INVALID)
