@@ -16,15 +16,23 @@ that means per-parent row_number paging; for subject/substring children the
 same cascades partitioned by (parent, node). Final
 ``bucket_id = concat_ws('/', b0, b1, ...)``.
 
-This module ships the most useful concrete composition plus a generic
-two-stage combinator over per-parent pagers; arbitrary nesting of the
-stateful strategies lands with the streaming stage-chaining.
+Child-stage catalogue:
+- ``paged_within_parent``: per-parent basic pager (order pages).
+- ``subject_within_parent``: per-parent subject-page index — its own
+  first-seen map and root rotation per parent instance; the child's
+  current root maps onto the parent bucket itself (mapTerm isRoot,
+  ts:123-141), rotated roots become ``parent/root-N``.
+- ``trie_within_parent``: per-parent substring/token-prefix trie — the
+  exact per-member reference walk per parent group in one applyInPandas
+  shuffle (chain prep stays JVM-side); child node names become
+  ``parent/node`` and the child root maps onto the parent.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -78,6 +86,199 @@ def paged_within_parent(
     return BucketizeResult(
         assignments.drop("_page"), relations, empty_seals(spark)
     )
+
+
+def subject_within_parent(
+    df: DataFrame,
+    parent_col: str,
+    value_col: str,
+    *,
+    salt: str = "s0",
+    max_relations: int = 100,
+    seq_col: str = "seq",
+    property_path: str | None = None,
+    ascii_fast: bool = True,
+    out_col: str = "bucket_id",
+) -> BucketizeResult:
+    """Per-parent subject-page child: a dedicated first-seen map + root
+    rotation per parent bucket (child instance per parent,
+    MultiBucketizer.ts:94-96). Child bucket = ``parent/childname``; the
+    child's root collapses onto the parent (EqualThan relations for root
+    index 0 originate FROM the parent bucket), rotated roots become
+    ``parent/root-N`` (mapTerm, ts:123-141)."""
+    from bucketizers_spark.functions.normalize import normalize_subject_col
+
+    spark = df.sparkSession
+    raw_value = F.col(value_col).cast("string")
+    last_segment = F.element_at(F.split(raw_value, "/"), -1)
+    child = normalize_subject_col(
+        F.concat(last_segment, F.lit("-" + salt)), ascii_fast=ascii_fast
+    )
+    assignments = df.withColumn("_child", child).withColumn(
+        out_col, F.concat_ws("/", F.col(parent_col), F.col("_child"))
+    )
+
+    def _root_name(idx_col):
+        return F.when(idx_col == 0, F.col(parent_col)).otherwise(
+            F.concat(F.col(parent_col), F.lit("/root-"), idx_col.cast("string"))
+        )
+
+    state: dict = {}
+
+    def _ranked() -> DataFrame:
+        if "ranked" not in state:
+            first_seen = assignments.groupBy(parent_col, out_col).agg(
+                F.min(F.col(seq_col)).alias("first_seq"),
+                F.min_by(raw_value, F.col(seq_col)).alias("value"),
+            )
+            # per-parent rank: parents partition the window — parallel by
+            # construction, each parent's bucket list is one task
+            w = Window.partitionBy(parent_col).orderBy("first_seq")
+            state["ranked"] = first_seen.withColumn(
+                "root_idx",
+                F.floor((F.row_number().over(w) - 1) / F.lit(max_relations)),
+            )
+        return state["ranked"]
+
+    def _turnovers() -> DataFrame:
+        if "turnovers" not in state:
+            state["turnovers"] = (
+                _ranked()
+                .where(F.col("root_idx") >= 1)
+                .groupBy(parent_col, "root_idx")
+                .agg(F.min("first_seq").alias("created_at_seq"))
+            )
+        return state["turnovers"]
+
+    def _relations() -> DataFrame:
+        equal_rels = _ranked().select(
+            *relation_row(
+                _root_name(F.col("root_idx")),
+                "EqualThan",
+                F.col(out_col),
+                values=F.array(F.col("value")),
+                path=F.lit(property_path) if property_path else None,
+                seq=F.col("first_seq"),
+            )
+        )
+        rotation_rels = _turnovers().select(
+            *relation_row(
+                _root_name(F.col("root_idx") - 1),
+                "Relation",
+                _root_name(F.col("root_idx")),
+                seq=F.col("created_at_seq"),
+            )
+        )
+        return equal_rels.unionByName(rotation_rels)
+
+    def _seals() -> DataFrame:
+        return _turnovers().select(
+            _root_name(F.col("root_idx") - 1).alias("bucket_id"),
+            F.col("created_at_seq").alias("sealed_at_seq"),
+        )
+
+    return BucketizeResult(assignments.drop("_child"), _relations, _seals)
+
+
+def trie_within_parent(
+    df: DataFrame,
+    parent_col: str,
+    value_col: str,
+    *,
+    mode: str = "char",  # "char" | "token"
+    page_size: int = 50,
+    max_depth: int = 16,
+    seq_col: str = "seq",
+    ascii_fast: bool = True,
+    out_col: str = "bucket_id",
+) -> BucketizeResult:
+    """Per-parent substring / token-prefix trie child: the exact reference
+    walk (operators/substring._walk incl. the root-capacity phase) per
+    parent group in ONE applyInPandas shuffle. Chain preparation
+    (normalize, candidate positions) stays JVM-side on the slim working
+    set; group size is the parent bucket's member count. Child node names
+    are prefixed ``parent/``; the child's root collapses onto the parent."""
+    from bucketizers_spark.operators.substring import (
+        _char_chain,
+        _token_chain,
+        _walk,
+    )
+
+    spark = df.sparkSession
+    chain = (
+        _char_chain(value_col, ascii_fast, max_depth)
+        if mode == "char"
+        else _token_chain(value_col, max_depth)
+    )
+    slim_in = df.select(seq_col, parent_col, *chain.input_cols)
+    work = chain.slim(chain.prepare(slim_in))
+    py_nodes, sep = chain.py_nodes, chain.sep
+
+    def walk_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = str(pdf[parent_col].iloc[0])
+        records = pdf.sort_values(seq_col).to_dict("records")
+        counters: dict[str, int] = {}
+        buckets: list[str | None] = []
+        relations: list[tuple] = []
+        # root-capacity phase (bucketCounterMap root seeded 0,
+        # SubstringBucketizer.ts:30-31): first page_size arrivals land in
+        # the child root = THE PARENT BUCKET; empties behave per ts:80-86
+        head: list[dict] = []
+        tail: list[dict] = []
+        root_cnt = 0
+        for r in records:
+            if int(r["_m"]) == 0:
+                # empty single-word child value → child bucket '' →
+                # mapped 'parent/'; multi-word separator-only → NO bucket
+                head.append(r)
+                buckets.append(None if bool(r["_multi"]) else f"{parent}/")
+            elif root_cnt < page_size:
+                root_cnt += 1
+                head.append(r)
+                buckets.append(parent)
+            else:
+                tail.append(r)
+        tail_buckets, tail_rels, _ = _walk(
+            tail, py_nodes, sep, 1, page_size, parent, seq_col, max_depth,
+            counters,
+        )
+        # interleave: emit (seq, bucket) for all rows; prefix child nodes
+        out_rows = []
+        for r, b in zip(head, buckets):
+            out_rows.append((r[seq_col], b, "a", None, None))
+        for r, b in zip(tail, tail_buckets):
+            mapped = None if b is None else f"{parent}/{b}"
+            out_rows.append((r[seq_col], mapped, "a", None, None))
+        for frm, _typ, to, _vals, _path, seq in tail_rels:
+            mapped_from = frm if frm == parent else f"{parent}/{frm}"
+            out_rows.append((seq, f"{parent}/{to}", "r", mapped_from, None))
+        return pd.DataFrame(
+            out_rows, columns=[seq_col, "bucket_id", "kind", "from_bucket", "cnt"]
+        )
+
+    out_schema = (
+        f"{seq_col} long, bucket_id string, kind string, "
+        "from_bucket string, cnt long"
+    )
+    walked = (
+        work.groupBy(parent_col).applyInPandas(walk_group, out_schema)
+    ).localCheckpoint()
+    bucket_map = walked.where(F.col("kind") == "a").select(seq_col, "bucket_id")
+    assignments = df.join(bucket_map, seq_col, "inner").withColumnRenamed(
+        "bucket_id", out_col
+    )
+    relations = walked.where(F.col("kind") == "r").select(
+        *relation_row(
+            F.col("from_bucket"),
+            "Substring",
+            F.col("bucket_id"),
+            values=F.split(
+                F.element_at(F.split(F.col("bucket_id"), "/"), -1), f"[{sep}]"
+            ),
+            seq=F.col(seq_col),
+        )
+    )
+    return BucketizeResult(assignments, relations, empty_seals(spark))
 
 
 def compose(

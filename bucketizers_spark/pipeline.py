@@ -114,21 +114,52 @@ def _build_geospatial(df: DataFrame, spec: JobSpec) -> BucketizeResult:
 
 
 def _build_multi(df: DataFrame, spec: JobSpec) -> BucketizeResult:
+    """Chained stages, one child instance per parent bucket
+    (MultiBucketizer.ts:46-162): every child strategy the reference
+    composes is supported — basic (per-parent pager), subject (per-parent
+    first-seen + rotation), substring (per-parent trie walk, char or
+    token mode). Child bucket ids are parent-prefixed; child roots
+    collapse onto the parent bucket."""
+    from bucketizers_spark.operators.multi import (
+        subject_within_parent,
+        trie_within_parent,
+    )
+
     head, *rest = spec.configs
     result = build(df, head)
     for k, sub in enumerate(rest):
         staged = result.assignments.withColumnRenamed("bucket_id", f"_p{k}")
-        if sub.strategy != "basic":
-            raise NotImplementedError(
-                "batch multi currently composes basic-pager children "
-                "(per-parent instances); other child strategies run via "
-                "streaming stage chaining"
+        if sub.strategy == "basic":
+            nxt = paged_within_parent(staged, f"_p{k}", page_size=sub.page_size)
+        elif sub.strategy == "subject":
+            nxt = subject_within_parent(
+                staged,
+                f"_p{k}",
+                sub.column,
+                salt=sub.salt,
+                max_relations=sub.max_relations,
+                property_path=sub.property_path,
             )
-        nxt = paged_within_parent(staged, f"_p{k}", page_size=sub.page_size)
+        elif sub.strategy == "substring":
+            nxt = trie_within_parent(
+                staged,
+                f"_p{k}",
+                sub.column or "tokens",
+                mode="token" if sub.token_mode else "char",
+                page_size=sub.page_size,
+                max_depth=sub.max_depth,
+            )
+        else:
+            raise NotImplementedError(
+                f"multi child strategy {sub.strategy!r} (the reference "
+                "composes basic/subject/substring children)"
+            )
+        prev_relations = result.relations
+        prev_seals = result.seals
         result = BucketizeResult(
             nxt.assignments.drop(f"_p{k}"),
-            result.relations.unionByName(nxt.relations),
-            result.seals.unionByName(nxt.seals),
+            lambda n=nxt, r=prev_relations: r.unionByName(n.relations),
+            lambda n=nxt, s=prev_seals: s.unionByName(n.seals),
         )
     return result
 

@@ -1,0 +1,164 @@
+"""Multi-composition children (S5): per-parent child instances must equal
+running the base operator independently on each parent's members, with
+child ids parent-prefixed and child roots collapsed onto the parent
+(MultiBucketizer.ts:46-162, mapTerm :123-141)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bucketizers_spark.operators.multi import (
+    subject_within_parent,
+    trie_within_parent,
+)
+from bucketizers_spark.operators.subject_page import subject_page
+from bucketizers_spark.operators.substring import substring_trie
+from bucketizers_spark.pipeline import build
+
+
+@pytest.fixture(scope="module")
+def parented(spark):
+    import random
+
+    rng = random.Random(7)
+    names = ["john doe", "jane doe", "johan", "mia", "amelia", "amy",
+             "bob", "bobby", "rob", "alice", "al", ""]
+    rows = [
+        (
+            i,
+            f"P{i % 2}",
+            f"http://example.org/u/{rng.randrange(6)}",
+            rng.choice(names),
+        )
+        for i in range(120)
+    ]
+    return spark.createDataFrame(
+        rows, "seq long, parent string, subj string, name string"
+    )
+
+
+def _map_root(parent: str, b: str) -> str:
+    if b == "root":
+        return parent
+    return f"{parent}/{b}"
+
+
+class TestSubjectWithinParent:
+    def test_matches_per_parent_base_operator(self, spark, parented):
+        res = subject_within_parent(
+            parented, "parent", "subj", salt="s0", max_relations=2
+        )
+        got_assign = {
+            (r.seq, r.bucket_id) for r in res.assignments.collect()
+        }
+        got_rels = {
+            (r.from_bucket, r.relation_type, r.to_bucket, r.created_at_seq)
+            for r in res.relations.collect()
+        }
+        got_seals = {
+            (r.bucket_id, r.sealed_at_seq) for r in res.seals.collect()
+        }
+
+        want_assign, want_rels, want_seals = set(), set(), set()
+        for parent in ["P0", "P1"]:
+            sub = parented.where(F.col("parent") == parent)
+            base = subject_page(sub, "subj", salt="s0", max_relations=2)
+            for r in base.assignments.collect():
+                want_assign.add((r.seq, f"{parent}/{r.bucket_id}"))
+            for r in base.relations.collect():
+                want_rels.add(
+                    (
+                        _map_root(parent, r.from_bucket),
+                        r.relation_type,
+                        r.to_bucket
+                        if r.relation_type != "EqualThan"
+                        else f"{parent}/{r.to_bucket}",
+                        r.created_at_seq,
+                    )
+                    if r.relation_type == "EqualThan"
+                    else (
+                        _map_root(parent, r.from_bucket),
+                        r.relation_type,
+                        _map_root(parent, r.to_bucket),
+                        r.created_at_seq,
+                    )
+                )
+            for r in base.seals.collect():
+                want_seals.add((_map_root(parent, r.bucket_id), r.sealed_at_seq))
+        assert got_assign == want_assign
+        assert got_rels == want_rels
+        assert got_seals == want_seals
+
+
+class TestTrieWithinParent:
+    def test_matches_per_parent_base_operator(self, spark, parented):
+        res = trie_within_parent(
+            parented, "parent", "name", page_size=2, max_depth=16, seq_col="seq"
+        )
+        got_assign = {(r.seq, r.bucket_id) for r in res.assignments.collect()}
+        got_rels = {
+            (r.from_bucket, r.to_bucket, r.created_at_seq)
+            for r in res.relations.collect()
+        }
+
+        want_assign, want_rels = set(), set()
+        for parent in ["P0", "P1"]:
+            sub = parented.where(F.col("parent") == parent)
+            base = substring_trie(sub, "name", page_size=2, max_depth=16,
+                                  seq_col="seq")
+            for r in base.assignments.collect():
+                b = (
+                    None
+                    if r.bucket_id is None
+                    else _map_root(parent, r.bucket_id)
+                )
+                want_assign.add((r.seq, b))
+            for r in base.relations.collect():
+                want_rels.add(
+                    (
+                        _map_root(parent, r.from_bucket),
+                        f"{parent}/{r.to_bucket}",
+                        r.created_at_seq,
+                    )
+                )
+        assert got_assign == want_assign
+        assert got_rels == want_rels
+
+
+class TestFactoryMulti:
+    def test_basic_then_subject(self, spark, parented):
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "basic", "page_size": 30},
+                {
+                    "strategy": "subject",
+                    "column": "subj",
+                    "max_relations": 3,
+                },
+            ],
+        }
+        res = build(parented, spec)
+        rows = res.assignments.collect()
+        assert len(rows) == 120
+        # every bucket is page/childbucket with the child suffix -s0
+        for r in rows:
+            page, child = r.bucket_id.split("/", 1)
+            assert page in {"0", "1", "2", "3"}
+            assert child.endswith("-s0")
+        assert res.relations.count() > 0
+
+    def test_basic_then_substring(self, spark, parented):
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "basic", "page_size": 60},
+                {"strategy": "substring", "column": "name", "page_size": 3},
+            ],
+        }
+        res = build(parented, spec)
+        rows = res.assignments.collect()
+        assert len(rows) == 120
+        prefixes = {r.bucket_id.split("/", 1)[0] for r in rows if r.bucket_id}
+        assert prefixes == {"0", "1"}
