@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -54,26 +56,19 @@ def _tile_y_int(lat: int, zoom: int) -> int | None:
         return None
 
 
-def geospatial_tiles(
-    df: DataFrame,
-    value_col: str,
-    *,
-    zoom: int = 4,
-    page_size: int = 50,
-    root: str = "root",
-    seq_col: str = "seq",
-) -> BucketizeResult:
-    spark = df.sparkSession
-    payload_cols = df.columns
+def tile_array_col(value_col: str, zoom: int) -> F.Column:
+    """Distinct integer-truncated slippy tiles of a WKT value — the pure
+    JVM extraction shared by the batch and streaming forms.
 
+    Full truncated-latitude domain -90..90 with the same float-precision
+    formula as the oracle: Python math.tan(pi/2) is finite (matching JS),
+    so +90 maps to a finite (negative) y; -90 hits log(0) → ValueError,
+    exactly like the oracle, whose throw routes the member to the
+    fallback (NULL y here)."""
     # strip '<CRS>' prefix (SlippyMaps.ts:66-71), pull "lon lat" pairs
     stripped = F.regexp_replace(F.col(value_col).cast("string"), r"^<[^>]*>\s*", "")
     pairs = F.regexp_extract_all(stripped, F.lit(_PAIR_RE), 0)
 
-    # full truncated-latitude domain -90..90 with the same float-precision
-    # formula as the oracle: Python math.tan(pi/2) is finite (matching JS),
-    # so +90 maps to a finite (negative) y; -90 hits log(0) → ValueError,
-    # exactly like the oracle, whose throw routes the member to the fallback.
     ytab = {
         lat: y
         for lat in range(-90, 91)
@@ -87,7 +82,22 @@ def geospatial_tiles(
         x = F.floor((lon + 180) * (2**zoom) / F.lit(360.0)).cast("int")
         return F.struct(x.alias("x"), ymap[lat].alias("y"))
 
-    tiles = F.array_distinct(F.transform(pairs, tile_of))
+    return F.array_distinct(F.transform(pairs, tile_of))
+
+
+def geospatial_tiles(
+    df: DataFrame,
+    value_col: str,
+    *,
+    zoom: int = 4,
+    page_size: int = 50,
+    root: str = "root",
+    seq_col: str = "seq",
+) -> BucketizeResult:
+    spark = df.sparkSession
+    payload_cols = df.columns
+
+    tiles = tile_array_col(value_col, zoom)
     # a pair whose latitude has no finite tile-y (lat == -90 after
     # truncation, or out-of-range garbage) throws in the reference
     # (SlippyMaps.ts:44-49) → the WHOLE member goes to the fallback, like
@@ -112,21 +122,32 @@ def geospatial_tiles(
         "bucket_id", F.concat(F.col("_leaf"), F.lit("-"), F.col("_page"))
     ).drop("_t", "_tpos", "_leaf", "_page", "_tiles")
 
-    # bbox per tile: broadcast literal lookup built from the distinct tiles
-    # of this frame would need a collect; instead reconstruct bbox from the
-    # leaf path driver-free is impossible in pure SQL (needs trig), so the
-    # relation frames join a driver-computed tiny dim of distinct tiles.
-    dist_tiles = [
-        (r["_leaf"], int(r["_leaf"].split("/")[1]), int(r["_leaf"].split("/")[2]))
-        for r in exploded.select("_leaf").distinct().collect()
-    ]
-    bbox_rows = [
-        (leaf, f"{zoom}/{x}", tile_bbox_wkt(x, y, zoom))
-        for leaf, x, y in dist_tiles
-    ]
-    if bbox_rows:
-        bbox_dim = spark.createDataFrame(
-            bbox_rows, "leaf string, column string, bbox string"
+    # bbox per tile: the inverse-mercator corners need trig plus Python
+    # float formatting byte-identical to the oracle's tile_bbox_wkt — so
+    # compute them DISTRIBUTED with a vectorized pandas UDF over the
+    # distinct-tile frame (r1 collected distinct tiles to the driver:
+    # bounded at zoom 4 but O(4^zoom) — a driver OOM at street zooms).
+    def _relations() -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        z = zoom
+
+        @pandas_udf("string")
+        def bbox_of(leaf: pd.Series) -> pd.Series:
+            def one(s: str) -> str:
+                _, xs, ys = s.split("/")
+                return tile_bbox_wkt(int(xs), int(ys), z)
+
+            return leaf.map(one)
+
+        bbox_dim = (
+            exploded.select("_leaf")
+            .distinct()
+            .withColumn("bbox", bbox_of(F.col("_leaf")))
+            .withColumn(
+                "column", F.regexp_replace(F.col("_leaf"), r"/[^/]+$", "")
+            )
+            .withColumnRenamed("_leaf", "leaf")
         )
         page_firsts = (
             paged.groupBy("_leaf", "_page")
@@ -159,12 +180,8 @@ def geospatial_tiles(
                 )
             )
         )
-        relations = column_rels.unionByName(root_rels)
-    else:
-        from bucketizers_spark.operators.core import empty_relations
+        return column_rels.unionByName(root_rels)
 
-        relations = empty_relations(spark)
-
-    result = BucketizeResult(assignments, relations, empty_seals(spark))
+    result = BucketizeResult(assignments, _relations, empty_seals(spark))
     result.unmatched = unmatched
     return result

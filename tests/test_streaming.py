@@ -476,3 +476,157 @@ class TestStreamStreamJoin:
         }
         assert got == want
         assert len(got) > 0
+
+
+class TestGeospatialStream:
+    def test_streaming_matches_batch(self, spark, workdir):
+        """Streaming geospatial (keyed per-tile page state + versioned
+        column dedup) must reproduce the batch operator's assignments and
+        relations over the concatenated stream."""
+        import pandas as pd
+
+        from bucketizers_spark.operators.geospatial import geospatial_tiles
+        from bucketizers_spark.streaming.geo_stream import (
+            GeoStreamJob,
+            geospatial_assign_stream,
+        )
+
+        import random
+
+        rng = random.Random(13)
+        rows = []
+        for i in range(600):
+            # few tiles → pages roll; some two-point geometries
+            lon = rng.choice([-170, -50, 3, 44, 100])
+            lat = rng.choice([-40, 10, 52])
+            if i % 7 == 0:
+                wkt = f"LINESTRING ({lon} {lat}, {lon + 25} {lat})"
+            else:
+                wkt = f"POINT ({lon} {lat})"
+            rows.append((i, wkt))
+        pdf = pd.DataFrame(rows, columns=["seq", "value"])
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(pdf, chunk_dir, n_chunks=4)
+
+        stream = (
+            spark.readStream.schema("seq long, value string")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(chunk_dir)
+        )
+        flagged, _unmatched = geospatial_assign_stream(
+            stream, "value", zoom=4, page_size=7
+        )
+        job = GeoStreamJob(
+            os.path.join(workdir, "sink"), os.path.join(workdir, "state"), zoom=4
+        )
+        q = job.start(flagged, os.path.join(workdir, "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r.seq, r.bucket_id)
+            for r in job.sink.read_all(spark).collect()
+        }
+        got_rels = {
+            (r.from_bucket, r.relation_type, r.to_bucket, tuple(r["values"]))
+            for r in job.rel_sink.read_all(spark).collect()
+        }
+
+        batch_df = spark.createDataFrame(pdf, "seq long, value string")
+        want_res = geospatial_tiles(batch_df, "value", zoom=4, page_size=7)
+        want = {
+            (r.seq, r.bucket_id)
+            for r in want_res.assignments.collect()
+        }
+        want_rels = {
+            (r.from_bucket, r.relation_type, r.to_bucket, tuple(r["values"]))
+            for r in want_res.relations.collect()
+        }
+        assert got == want
+        assert got_rels == want_rels
+        # exactly one root relation per column across all batches
+        roots = [r for r in got_rels if r[0] == "root"]
+        assert len(roots) == len({r[2] for r in roots})
+
+    def test_replay_is_idempotent(self, spark, workdir):
+        import pandas as pd
+
+        from bucketizers_spark.streaming.geo_stream import (
+            GeoStreamJob,
+            geospatial_assign_stream,
+        )
+
+        pdf = pd.DataFrame(
+            [(i, f"POINT ({(i % 3) * 40 - 40} 10)") for i in range(60)],
+            columns=["seq", "value"],
+        )
+        b0 = spark.createDataFrame(pdf.iloc[:30], "seq long, value string")
+        b1 = spark.createDataFrame(pdf.iloc[30:], "seq long, value string")
+
+        def flag(df):
+            # run the stateless stage batch-side, emulate keyed state via
+            # two sequential process_batch calls on pre-flagged frames
+            from bucketizers_spark.operators.geospatial import tile_array_col
+            from pyspark.sql import functions as F
+
+            return (
+                df.withColumn("_tiles", tile_array_col("value", 4))
+                .select("seq", "value", F.posexplode("_tiles").alias("_tpos", "_t"))
+                .withColumn(
+                    "_leaf",
+                    F.concat_ws("/", F.lit("4"), F.col("_t.x"), F.col("_t.y")),
+                )
+                .drop("_t")
+            )
+
+        # stateless flags per batch with a manual running count per leaf
+        # (the keyed-state kernel is exercised in the previous test; here
+        # the target is the job's replay idempotency)
+        from pyspark.sql import functions as F
+
+        f0 = flag(b0)
+        counts = {
+            r._leaf: r.cnt
+            for r in f0.groupBy("_leaf").agg(F.count("*").alias("cnt")).collect()
+        }
+        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        rn0 = (
+            f0.withColumn(
+                "idx",
+                F.row_number().over(
+                    w.partitionBy("_leaf").orderBy("seq", "_tpos")
+                )
+                - 1,
+            )
+        )
+        rn1 = flag(b1).withColumn(
+            "idx",
+            F.row_number().over(w.partitionBy("_leaf").orderBy("seq", "_tpos"))
+            - 1
+            + F.coalesce(
+                F.create_map(
+                    *[F.lit(x) for kv in counts.items() for x in kv]
+                )[F.col("_leaf")],
+                F.lit(0),
+            ),
+        )
+
+        def flagged(df):
+            return (
+                df.withColumn("_page", (F.col("idx") / 7).cast("long"))
+                .withColumn("is_new_tile", F.col("idx") == 0)
+                .withColumn("is_new_page", F.col("idx") % 7 == 0)
+                .drop("idx")
+            )
+
+        job = GeoStreamJob(
+            os.path.join(workdir, "sink"), os.path.join(workdir, "state"), zoom=4
+        )
+        job.process_batch(flagged(rn0), 0)
+        job.process_batch(flagged(rn1), 1)
+        once_rels = job.rel_sink.read_all(spark).count()
+        once = job.sink.read_all(spark).count()
+        job.process_batch(flagged(rn1), 1)  # replay
+        assert job.sink.read_all(spark).count() == once
+        assert job.rel_sink.read_all(spark).count() == once_rels
