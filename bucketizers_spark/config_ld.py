@@ -240,7 +240,29 @@ def _path_str(path: Any) -> str:
 
 def spec_from_ld(triples, subject: str | None = None) -> JobSpec:
     """createBucketizerLD's config extraction: validate against the shape,
-    then map the strategy's triples onto a JobSpec."""
+    then map the strategy's triples onto a JobSpec.
+
+    ``ldes:multi`` is handled before the shape gate — the reference's
+    shape enum excludes multi; MultiBucketizerFactory.ldConfig parses
+    ``ldes:configs (s1 s2 ...)`` itself (MultiBucketizer.ts:22-44) and
+    each child subject goes through the normal gate recursively."""
+    for s2, p2, o2 in triples:
+        if (
+            p2 == RDF_TYPE
+            and o2 == LDES + "BucketizeStrategy"
+            and (subject is None or s2 == subject)
+            and _objects(triples, s2, LDES + "bucketType") == [LDES + "multi"]
+        ):
+            cfgs = _objects(triples, s2, LDES + "configs")
+            if len(cfgs) != 1 or not isinstance(cfgs[0], list) or not cfgs[0]:
+                raise ConfigError(
+                    "ldes:multi requires exactly one non-empty "
+                    "ldes:configs collection"
+                )
+            return JobSpec(
+                strategy="multi",
+                configs=[spec_from_ld(triples, c) for c in cfgs[0]],
+            )
     s = get_valid_shape(triples, subject)
     if s is None:
         raise ConfigError("No valid shape found!")  # bucketizers.ts:51

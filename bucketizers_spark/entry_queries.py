@@ -245,6 +245,48 @@ FROM events GROUP BY 1
 """
 
 
+def _hour_epoch() -> F.Column:
+    # TIMESTAMP_NTZ-safe hour-floored naive epoch (session-TZ-proof)
+    return (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour("ts").cast("long") * 3600
+    )
+
+
+def q_windowed_join(spark, sf_dir):
+    """Batch-parity form of the streaming windowed stateful join
+    (streaming/join.windowed_stream_join, pinned streaming==batch in
+    tests): the member stream joined to the per-(window, key) seal
+    aggregate on equal tumbling windows — each event enriched with its
+    bucket's final count. One shuffle for the aggregate, one co-located
+    join on the same keys."""
+    ev = _t(spark, sf_dir, "events").withColumn("bucket_epoch", _hour_epoch())
+    seals = ev.groupBy("bucket_epoch", "event_type").agg(
+        F.count(F.lit(1)).alias("n_in_bucket")
+    )
+    return (
+        ev.select("event_id", "bucket_epoch", "event_type")
+        .join(seals, ["bucket_epoch", "event_type"])
+        .select("event_id", "bucket_epoch", "event_type", "n_in_bucket")
+    )
+
+
+SQL_WINDOWED_JOIN = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch
+  FROM events
+),
+s AS (
+  SELECT bucket_epoch, event_type, COUNT(*) AS n_in_bucket
+  FROM e GROUP BY bucket_epoch, event_type
+)
+SELECT e.event_id, e.bucket_epoch, e.event_type, s.n_in_bucket
+FROM e JOIN s USING (bucket_epoch, event_type)
+"""
+
+
 def q_time_sliding(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     win = F.window(F.col("ts"), "1 hour", "30 minutes")
@@ -1108,6 +1150,7 @@ QUERIES = {
     "subject_relations": q_subject_relations,
     "subject_seals": q_subject_seals,
     "time_tumbling": q_time_tumbling,
+    "windowed_join": q_windowed_join,
     "time_sliding": q_time_sliding,
     "time_session": q_time_session,
     "multi_subject_basic": q_multi_subject_basic,
@@ -1136,6 +1179,7 @@ ORACLES = {
     "subject_relations": SQL_SUBJECT_RELATIONS,
     "subject_seals": SQL_SUBJECT_SEALS,
     "time_tumbling": SQL_TIME_TUMBLING,
+    "windowed_join": SQL_WINDOWED_JOIN,
     "time_sliding": SQL_TIME_SLIDING,
     "time_session": SQL_TIME_SESSION,
     "multi_subject_basic": SQL_MULTI_SUBJECT_BASIC,

@@ -157,3 +157,55 @@ class TestBuildLD:
         df = spark.range(0, 10).withColumnRenamed("id", "seq")
         with pytest.raises(ConfigError):
             create_bucketizer_ld(df, INVALID)
+
+
+MULTI = _PREFIXES + """
+ex:MultiBucketizeStrategy a ldes:BucketizeStrategy;
+  ldes:bucketType ldes:multi;
+  ldes:configs (
+    ex:BasicStrategy
+    ex:SubjectStrategy
+  ) .
+
+ex:BasicStrategy a ldes:BucketizeStrategy;
+    ldes:bucketType ldes:basic;
+    ldes:pageSize 30.
+
+ex:SubjectStrategy a ldes:BucketizeStrategy;
+    ldes:bucketType ldes:subject;
+    tree:path ex:subj;
+    ldes:pageSize 50.
+"""
+
+
+class TestMultiLD:
+    def test_parse_multi_ld(self):
+        # MultiBucketizer.test.ts "Parse ld correctly": multi skips the
+        # shape enum and resolves each child subject recursively
+        spec = spec_from_ld(
+            parse_turtle(MULTI), "https://example.org/ns#MultiBucketizeStrategy"
+        )
+        assert spec.strategy == "multi"
+        assert [c.strategy for c in spec.configs] == ["basic", "subject"]
+        assert spec.configs[0].page_size == 30
+        assert spec.configs[1].column == "subj"
+
+    def test_multi_ld_builds(self, spark):
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(0, 90)
+            .withColumnRenamed("id", "seq")
+            .withColumn(
+                "subj",
+                F.concat(F.lit("http://x.org/u/"), (F.col("seq") % 3).cast("string")),
+            )
+        )
+        res = create_bucketizer_ld(
+            df, MULTI, "https://example.org/ns#MultiBucketizeStrategy"
+        )
+        rows = res.assignments.collect()
+        assert len(rows) == 90
+        for r in rows:
+            page, child = r.bucket_id.split("/", 1)
+            assert page in {"0", "1", "2"} and child.endswith("-s0")
