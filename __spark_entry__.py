@@ -2,9 +2,9 @@
 
 ``entry`` runs the flagship subject-page bucketization over the sf0.001
 documents table; ``queries``/``oracle_sql`` expose every implemented
-operator (SURVEY.md §2 + pipeline extras) with DuckDB-checkable oracles
-where SQL-expressible (sequential trie capacity allocation is rows-only;
-it is oracle-pinned in tests/ instead).
+operator (SURVEY.md §2 + pipeline extras), each with a DuckDB oracle —
+including the substring/token tries, whose level-synchronous cascade
+unrolls into fixed-depth SQL (entry_queries._trie_sql).
 """
 
 from __future__ import annotations

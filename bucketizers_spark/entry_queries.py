@@ -9,13 +9,13 @@ money-like sums go through integer cents, similarity scores are rounded to
 Query inventory maps to SURVEY.md §2 + the training-data pipeline extras:
 - basic pager / relations (S1), fallback pager (O4)
 - subject-page assignment / relations / seals with root rotation (S3)
-- substring + token-prefix tries (S2; rows-only oracle — sequential
-  capacity semantics are not expressible in one SQL query)
-- time windows: tumbling / sliding / session (north_rule streaming ops,
-  batch-parity forms)
+- substring + token-prefix tries (S2; oracle = generated fixed-depth
+  unrolled cascade SQL, see _trie_sql)
+- time windows: tumbling / sliding / session + the windowed stateful
+  join (north_rule streaming ops, batch-parity forms)
 - multi composition (S5), geospatial slippy-tile paging (S4 analog)
-- dedup: exact, minhash-LSH bands, simhash, n-gram jaccard
-- similarity: brute-force cosine top-k, sign-LSH buckets
+- dedup: exact, minhash-LSH bands, simhash, band-pruned n-gram jaccard
+- similarity: brute-force cosine top-k, random-hyperplane sign-LSH
 - text: quality stats, language guess, token counting, fingerprinting
 """
 
