@@ -24,6 +24,7 @@ HEADLINE = [
     "substring_trie",
     "token_prefix_trie",
     "time_tumbling",
+    "windowed_join",
     "time_session",
     "multi_subject_basic",
     "geo_tile",
