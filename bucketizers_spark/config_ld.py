@@ -52,20 +52,24 @@ def _tokenize(text: str) -> list[str]:
     # strip comments (a '#' outside <>/"" starts a comment)
     lines = []
     for line in text.splitlines():
-        out, in_iri, in_str = [], False, False
-        i = 0
-        while i < len(line):
-            c = line[i]
-            if c == "<" and not in_str:
+        out, in_iri, in_str, escaped = [], False, False, False
+        for c in line:
+            if in_str:
+                if escaped:
+                    escaped = False
+                elif c == "\\":
+                    escaped = True
+                elif c == '"':
+                    in_str = False
+            elif c == "<" and not in_iri:
                 in_iri = True
-            elif c == ">" and not in_str:
+            elif c == ">" and in_iri:
                 in_iri = False
             elif c == '"' and not in_iri:
-                in_str = not in_str
-            elif c == "#" and not in_iri and not in_str:
+                in_str = True
+            elif c == "#" and not in_iri:
                 break
             out.append(c)
-            i += 1
         lines.append("".join(out))
     tokens: list[str] = []
     for raw in _TOKEN_RE.findall("\n".join(lines)):

@@ -36,7 +36,10 @@ from bucketizers_spark.operators import (
     substring_trie,
     tumbling_bucketizer,
 )
-from bucketizers_spark.operators.multi import paged_within_parent
+from bucketizers_spark.operators.multi import (
+    paged_within_parent,
+    trie_within_parent,
+)
 from bucketizers_spark.operators.substring import token_prefix_trie
 
 _FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -206,6 +209,19 @@ GROUP BY i
 # --------------------------------------------------------------------------
 # time windows (north_rule): tumbling / sliding / session over events.ts
 # --------------------------------------------------------------------------
+def _hour_epoch() -> F.Column:
+    """Hour-floored naive epoch of the events ``ts`` column. ts is
+    TIMESTAMP_NTZ (no direct long cast), so the epoch is built from
+    date/time parts — session-TZ-proof by construction. Shared by every
+    hashed time-bucket surface (time_tumbling, windowed_join): the two
+    dialect expressions MUST stay in lockstep."""
+    return (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 86400
+        + F.hour("ts").cast("long") * 3600
+    )
+
+
 def q_time_tumbling(spark, sf_dir):
     # Hashed surface is engine-neutral by construction (r1 driver hash
     # mismatch root-caused to round-on-double: Spark F.round is HALF_UP on
@@ -216,15 +232,9 @@ def q_time_tumbling(spark, sf_dir):
         "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     )
     res = tumbling_bucketizer(ev, "ts", "1 hour")
-    # group on the operator's bucket_id (1:1 with the hour window), hash the
-    # epoch form of the window start. ts is TIMESTAMP_NTZ (no direct long
-    # cast), so build the hour-floored naive epoch from date/time parts —
-    # session-TZ-proof by construction.
-    epoch = (
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
-        * 86400
-        + F.hour("ts").cast("long") * 3600
-    )
+    # group on the operator's bucket_id (1:1 with the hour window), hash
+    # the epoch form of the window start
+    epoch = _hour_epoch()
     return (
         res.assignments.withColumn("_epoch", epoch)
         .groupBy("bucket_id")
@@ -243,15 +253,6 @@ SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
        SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
 FROM events GROUP BY 1
 """
-
-
-def _hour_epoch() -> F.Column:
-    # TIMESTAMP_NTZ-safe hour-floored naive epoch (session-TZ-proof)
-    return (
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
-        * 86400
-        + F.hour("ts").cast("long") * 3600
-    )
 
 
 def q_windowed_join(spark, sf_dir):
@@ -355,6 +356,64 @@ SELECT event_id,
        CAST(user_id AS VARCHAR) || '-s0/' ||
        CAST(CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) / 20) AS BIGINT) AS VARCHAR) AS bucket_id
 FROM events
+"""
+
+
+def q_multi_subject_rotation(spark, sf_dir):
+    """Multi composition with a subject child (S5): parent = event_type (a
+    pre-assigned stage-1 bucket), child = a dedicated subject-page index
+    per parent — its own first-seen map and root rotation, the child root
+    collapsing onto the parent (operators/multi.subject_within_parent)."""
+    from bucketizers_spark.operators.multi import subject_within_parent
+
+    ev = _events_with_subject(spark, sf_dir)
+    res = subject_within_parent(
+        ev, "event_type", "subject", salt="s0", max_relations=5,
+        seq_col="event_id",
+    )
+    return res.relations.select(
+        "from_bucket",
+        "relation_type",
+        "to_bucket",
+        F.element_at("values", 1).alias("value"),
+        "created_at_seq",
+    )
+
+
+SQL_MULTI_SUBJECT_ROTATION = """
+WITH firsts AS (
+  SELECT event_type,
+         event_type || '/' || CAST(user_id AS VARCHAR) || '-s0' AS bucket_id,
+         MIN(event_id) AS first_seq,
+         arg_min('http://example.org/user/' || CAST(user_id AS VARCHAR),
+                 event_id) AS value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         CAST(floor((row_number() OVER (PARTITION BY event_type
+                                        ORDER BY first_seq) - 1) / 5)
+              AS BIGINT) AS root_idx
+  FROM firsts
+)
+SELECT CASE WHEN root_idx = 0 THEN event_type
+            ELSE event_type || '/root-' || CAST(root_idx AS VARCHAR)
+       END AS from_bucket,
+       'EqualThan' AS relation_type,
+       bucket_id AS to_bucket,
+       value,
+       first_seq AS created_at_seq
+FROM ranked
+UNION ALL
+SELECT CASE WHEN i = 1 THEN event_type
+            ELSE event_type || '/root-' || CAST(i - 1 AS VARCHAR) END,
+       'Relation',
+       event_type || '/root-' || CAST(i AS VARCHAR),
+       NULL,
+       MIN(first_seq)
+FROM (SELECT event_type, root_idx AS i, first_seq
+      FROM ranked WHERE root_idx >= 1) t
+GROUP BY event_type, i
 """
 
 
@@ -835,7 +894,9 @@ def q_emb_near_dup(spark, sf_dir):
     bands), then exact cosine >= 0.3 — a bucket join, no all-pairs
     product."""
     emb = _t(spark, sf_dir, "embeddings")
-    buckets = q_ann_lsh(spark, sf_dir)
+    # materialize the (small) bucket frame once — a self-join would
+    # otherwise run the LSH matmul UDF + embedding scan on BOTH sides
+    buckets = q_ann_lsh(spark, sf_dir).localCheckpoint()
     cand = (
         buckets.alias("x")
         .join(
@@ -1015,45 +1076,78 @@ _TOK_DEPTH = 6
 _TOK_SQL = "CAST((ascii(w) * 7 + length(w) * 13) % 256 AS VARCHAR)"
 
 
-def _trie_sql(mode: str, page_size: int, depth: int, out: str) -> str:
+def _trie_sql(
+    mode: str,
+    page_size: int,
+    depth: int,
+    out: str,
+    parent_col: str | None = None,
+) -> str:
     """Generate the unrolled trie-cascade oracle SQL.
 
     mode: 'char' (normalized-value prefixes, '+' for spaces) or 'token'
     (dash-joined leading token n-grams). out: 'assignments' (seq → bucket)
-    or 'relations' (one Substring edge per created node)."""
+    or 'relations' (one Substring edge per created node).
+
+    With ``parent_col``, a DEDICATED TRIE PER PARENT (the multi-composition
+    child-instance-per-parent-bucket semantics): every window/threshold
+    partitions on (parent, node); the child root collapses onto the parent
+    and child node names are prefixed ``parent/``."""
     ps, ps1 = page_size, page_size - 1
+    pc = f"{parent_col}, " if parent_col else ""
+    pby = f"{parent_col}, node" if parent_col else "node"
     if mode == "char":
         npos = "list_filter(range(1, length(v) + 1), i -> substr(v, i, 1) <> '+')"
         prep = f"""
 prep AS (
-  SELECT doc_id AS seq,
+  SELECT doc_id AS seq, {pc}
          replace(lower(replace(regexp_replace(trim(text), '[,'']', '', 'g'),
                                '-', ' ')), ' ', '+') AS v
   FROM documents
 ),
 chain AS (
-  SELECT seq, v, {npos} AS npos, len({npos}) AS m, contains(v, '+') AS multi
+  SELECT seq, {pc}v, {npos} AS npos, len({npos}) AS m, contains(v, '+') AS multi
   FROM prep
 )"""
         node = lambda L: f"substr(v, 1, npos[{L}])"  # noqa: E731
-        carry = "seq, v, npos, m, multi"
+        carry = f"seq, {pc}v, npos, m, multi"
     else:
         prep = f"""
 prep AS (
-  SELECT doc_id AS seq,
+  SELECT doc_id AS seq, {pc}
          list_transform(string_split(text, ' '), w -> {_TOK_SQL}) AS toks
   FROM documents
 ),
 chain AS (
-  SELECT seq, toks, least(len(toks), {depth}) AS m, FALSE AS multi FROM prep
+  SELECT seq, {pc}toks, least(len(toks), {depth}) AS m, FALSE AS multi
+  FROM prep
 )"""
         node = lambda L: f"array_to_string(toks[1:{L}], '-')"  # noqa: E731
-        carry = "seq, toks, m, multi"
+        carry = f"seq, {pc}toks, m, multi"
 
-    cap = f"(CASE WHEN first_term THEN {ps1} ELSE {ps} END)"
-    parts = [
-        prep,
-        f"""
+    if parent_col:
+        # per-parent root: rank within parent replaces the global top-K;
+        # bucket names: root → parent, node n → parent/n, '' → parent/
+        root_bucket = parent_col
+        bucket_of = f"{parent_col} || '/' || node"
+        empty_bucket = f"{parent_col} || '/'"
+        level0 = f"""
+base AS (SELECT *, row_number() OVER (PARTITION BY {parent_col} ORDER BY seq) AS rn0
+         FROM chain WHERE m > 0),
+aem AS (SELECT seq, CASE WHEN multi THEN NULL ELSE {empty_bucket} END AS bucket_id
+        FROM chain WHERE m = 0),
+a0 AS (SELECT seq, {root_bucket} AS bucket_id FROM base WHERE rn0 <= {ps}),
+r1 AS (SELECT {carry} FROM base WHERE rn0 > {ps})"""
+        rel_parent = (
+            lambda L: f"{parent_col} || '/' || {node(L - 1)}"
+            if L > 1
+            else parent_col
+        )
+    else:
+        root_bucket = "'root'"
+        bucket_of = "node"
+        empty_bucket = "''"
+        level0 = f"""
 base AS (SELECT * FROM chain WHERE m > 0),
 thr AS (SELECT max(seq) AS t
         FROM (SELECT seq FROM base ORDER BY seq LIMIT {ps})),
@@ -1061,35 +1155,41 @@ aem AS (SELECT seq, CASE WHEN multi THEN NULL ELSE '' END AS bucket_id
         FROM chain WHERE m = 0),
 a0 AS (SELECT seq, 'root' AS bucket_id FROM base
        WHERE seq <= (SELECT t FROM thr)),
-r1 AS (SELECT * FROM base WHERE seq > (SELECT t FROM thr))""",
-    ]
+r1 AS (SELECT * FROM base WHERE seq > (SELECT t FROM thr))"""
+        rel_parent = lambda L: node(L - 1) if L > 1 else "'root'"  # noqa: E731
+
+    cap = f"(CASE WHEN first_term THEN {ps1} ELSE {ps} END)"
+    parts = [prep, level0]
     for L in range(1, depth + 1):
         parts.append(f"""
 n{L} AS (SELECT *, {node(L)} AS node FROM r{L}),
 s{L} AS (
   SELECT *, (m = {L}) AS term,
-         row_number() OVER (PARTITION BY node ORDER BY seq) AS rn,
+         row_number() OVER (PARTITION BY {pby} ORDER BY seq) AS rn,
          SUM(CASE WHEN m = {L} THEN 0 ELSE 1 END)
-           OVER (PARTITION BY node ORDER BY seq
+           OVER (PARTITION BY {pby} ORDER BY seq
                  ROWS UNBOUNDED PRECEDING) AS ntrank,
-         first_value(m = {L}) OVER (PARTITION BY node ORDER BY seq) AS first_term
+         first_value(m = {L}) OVER (PARTITION BY {pby} ORDER BY seq) AS first_term
   FROM n{L}
 ),
 p{L} AS (
-  SELECT seq, CASE WHEN NOT term THEN node
-                   WHEN rn = 1 OR NOT multi THEN node
+  SELECT seq, CASE WHEN NOT term THEN {bucket_of}
+                   WHEN rn = 1 OR NOT multi THEN {bucket_of}
                    ELSE NULL END AS bucket_id
   FROM s{L} WHERE term OR ntrank <= {cap}
 ),
 rel{L} AS (
-  SELECT {node(L - 1) if L > 1 else "'root'"} AS from_bucket,
-         'Substring' AS relation_type, node AS to_bucket,
+  SELECT {rel_parent(L)} AS from_bucket,
+         'Substring' AS relation_type, {bucket_of} AS to_bucket,
          seq AS created_at_seq
   FROM s{L} WHERE rn = 1
 ),
 r{L + 1} AS (SELECT {carry} FROM s{L} WHERE NOT term AND ntrank > {cap})""")
+    valve_bucket = (
+        f"{parent_col} || '/' || {node(depth)}" if parent_col else node(depth)
+    )
     parts.append(f"""
-valve AS (SELECT seq, {node(depth)} AS bucket_id FROM r{depth + 1})""")
+valve AS (SELECT seq, {valve_bucket} AS bucket_id FROM r{depth + 1})""")
     with_block = "WITH " + ",".join(parts)
     if out == "relations":
         union = "\nUNION ALL\n".join(f"SELECT * FROM rel{L}" for L in range(1, depth + 1))
@@ -1134,9 +1234,27 @@ def q_token_prefix_trie(spark, sf_dir):
     return res.assignments.select("doc_id", "bucket_id")
 
 
+def q_multi_source_trie(spark, sf_dir):
+    """Multi composition with a NON-basic child (S5): parent = the source
+    column (a pre-assigned stage-1 bucket), child = a dedicated substring
+    trie per parent (operators/multi.trie_within_parent — exact reference
+    walk per parent group in one applyInPandas shuffle). Child buckets are
+    parent-prefixed; the child root collapses onto the parent."""
+    docs = _t(spark, sf_dir, "documents")
+    # parent is pre-assigned (source column): no stage-1 shuffle needed
+    out = trie_within_parent(
+        docs, "source", "text",
+        page_size=_TRIE_PS, max_depth=_TRIE_DEPTH, seq_col="doc_id",
+    )
+    return out.assignments.select("doc_id", "bucket_id")
+
+
 SQL_SUBSTRING_TRIE = _trie_sql("char", _TRIE_PS, _TRIE_DEPTH, "assignments")
 SQL_SUBSTRING_TRIE_RELATIONS = _trie_sql("char", _TRIE_PS, _TRIE_DEPTH, "relations")
 SQL_TOKEN_PREFIX_TRIE = _trie_sql("token", _TOK_PS, _TOK_DEPTH, "assignments")
+SQL_MULTI_SOURCE_TRIE = _trie_sql(
+    "char", _TRIE_PS, _TRIE_DEPTH, "assignments", parent_col="source"
+)
 
 
 # --------------------------------------------------------------------------
@@ -1154,6 +1272,7 @@ QUERIES = {
     "time_sliding": q_time_sliding,
     "time_session": q_time_session,
     "multi_subject_basic": q_multi_subject_basic,
+    "multi_subject_rotation": q_multi_subject_rotation,
     "geo_tile": q_geo_tile,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1169,6 +1288,7 @@ QUERIES = {
     "substring_trie": q_substring_trie,
     "substring_trie_relations": q_substring_trie_relations,
     "token_prefix_trie": q_token_prefix_trie,
+    "multi_source_trie": q_multi_source_trie,
 }
 
 ORACLES = {
@@ -1183,6 +1303,7 @@ ORACLES = {
     "time_sliding": SQL_TIME_SLIDING,
     "time_session": SQL_TIME_SESSION,
     "multi_subject_basic": SQL_MULTI_SUBJECT_BASIC,
+    "multi_subject_rotation": SQL_MULTI_SUBJECT_ROTATION,
     "geo_tile": SQL_GEO_TILE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
@@ -1198,4 +1319,5 @@ ORACLES = {
     "substring_trie": SQL_SUBSTRING_TRIE,
     "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,
+    "multi_source_trie": SQL_MULTI_SOURCE_TRIE,
 }

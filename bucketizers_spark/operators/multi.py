@@ -197,7 +197,14 @@ def trie_within_parent(
     parent group in ONE applyInPandas shuffle. Chain preparation
     (normalize, candidate positions) stays JVM-side on the slim working
     set; group size is the parent bucket's member count. Child node names
-    are prefixed ``parent/``; the child's root collapses onto the parent."""
+    are prefixed ``parent/``; the child's root collapses onto the parent.
+
+    Scale contract: ONE task sorts and walks each parent's members — right
+    when parents are capacity-bounded stage-1 buckets (pager pages,
+    subject pages), wrong for a handful of giant parents (a low-cardinality
+    blocking column): there, run the distributed cascade per parent
+    instead (the level machinery keyed by (parent, node) — not yet wired;
+    see _run_cascade)."""
     from bucketizers_spark.operators.substring import (
         _char_chain,
         _token_chain,
@@ -213,6 +220,14 @@ def trie_within_parent(
     slim_in = df.select(seq_col, parent_col, *chain.input_cols)
     work = chain.slim(chain.prepare(slim_in))
     py_nodes, sep = chain.py_nodes, chain.sep
+
+    # sentinel root name for the per-parent walk: root-collapse onto the
+    # parent is detected by comparing a relation's from_bucket with the
+    # root name, so the name must be impossible as a trie node ('\x00' can
+    # never appear in a normalized value or a dash-joined token key —
+    # a parent bucket literally named like a node, e.g. basic page "0"
+    # under token values, must NOT capture that node's subtree)
+    _ROOT = "\x00root"
 
     def walk_group(pdf: pd.DataFrame) -> pd.DataFrame:
         parent = str(pdf[parent_col].iloc[0])
@@ -239,7 +254,7 @@ def trie_within_parent(
             else:
                 tail.append(r)
         tail_buckets, tail_rels, _ = _walk(
-            tail, py_nodes, sep, 1, page_size, parent, seq_col, max_depth,
+            tail, py_nodes, sep, 1, page_size, _ROOT, seq_col, max_depth,
             counters,
         )
         # interleave: emit (seq, bucket) for all rows; prefix child nodes
@@ -249,16 +264,16 @@ def trie_within_parent(
         for r, b in zip(tail, tail_buckets):
             mapped = None if b is None else f"{parent}/{b}"
             out_rows.append((r[seq_col], mapped, "a", None, None))
-        for frm, _typ, to, _vals, _path, seq in tail_rels:
-            mapped_from = frm if frm == parent else f"{parent}/{frm}"
-            out_rows.append((seq, f"{parent}/{to}", "r", mapped_from, None))
+        for frm, _typ, to, vals, _path, seq in tail_rels:
+            mapped_from = parent if frm == _ROOT else f"{parent}/{frm}"
+            out_rows.append((seq, f"{parent}/{to}", "r", mapped_from, list(vals)))
         return pd.DataFrame(
-            out_rows, columns=[seq_col, "bucket_id", "kind", "from_bucket", "cnt"]
+            out_rows, columns=[seq_col, "bucket_id", "kind", "from_bucket", "vals"]
         )
 
     out_schema = (
         f"{seq_col} long, bucket_id string, kind string, "
-        "from_bucket string, cnt long"
+        "from_bucket string, vals array<string>"
     )
     walked = (
         work.groupBy(parent_col).applyInPandas(walk_group, out_schema)
@@ -272,9 +287,9 @@ def trie_within_parent(
             F.col("from_bucket"),
             "Substring",
             F.col("bucket_id"),
-            values=F.split(
-                F.element_at(F.split(F.col("bucket_id"), "/"), -1), f"[{sep}]"
-            ),
+            values=F.col("vals"),  # the walk's exact node split (a node
+            # name may itself contain '/', so re-deriving from bucket_id
+            # would be lossy)
             seq=F.col(seq_col),
         )
     )

@@ -71,7 +71,6 @@ def with_global_rank0(
     }
     if not counts:
         return df.withColumn(out_col, F.lit(0).cast("long"))
-    offsets: list[int] = []
     acc = 0
     pairs: list = []
     for pid in sorted(counts):

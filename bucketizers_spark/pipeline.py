@@ -108,8 +108,8 @@ def _build_geospatial(df: DataFrame, spec: JobSpec) -> BucketizeResult:
     fb = fallback_pager(res.unmatched, page_size=spec.page_size, root=spec.root)
     return BucketizeResult(
         res.assignments.unionByName(fb.assignments),
-        res.relations.unionByName(fb.relations),
-        res.seals,
+        lambda r=res, f=fb: r.relations.unionByName(f.relations),
+        lambda r=res: r.seals,
     )
 
 
@@ -154,12 +154,12 @@ def _build_multi(df: DataFrame, spec: JobSpec) -> BucketizeResult:
                 f"multi child strategy {sub.strategy!r} (the reference "
                 "composes basic/subject/substring children)"
             )
-        prev_relations = result.relations
-        prev_seals = result.seals
+        # capture the result OBJECTS, not their .relations/.seals — the
+        # property access would force the lazy factories at build time
         result = BucketizeResult(
             nxt.assignments.drop(f"_p{k}"),
-            lambda n=nxt, r=prev_relations: r.unionByName(n.relations),
-            lambda n=nxt, s=prev_seals: s.unionByName(n.seals),
+            lambda n=nxt, r=result: r.relations.unionByName(n.relations),
+            lambda n=nxt, r=result: r.seals.unionByName(n.seals),
         )
     return result
 
@@ -203,6 +203,6 @@ def route_with_fallback(
     )
     return BucketizeResult(
         main.assignments.unionByName(fb.assignments),
-        main.relations.unionByName(fb.relations),
-        main.seals,
+        lambda m=main, f=fb: m.relations.unionByName(f.relations),
+        lambda m=main: m.seals,
     )

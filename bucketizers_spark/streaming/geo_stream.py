@@ -107,14 +107,15 @@ def geospatial_assign_stream(
 
 
 def relations_from_flags(
-    flagged: DataFrame, *, zoom: int, root: str = "root", seq_col: str = "seq"
+    flagged: DataFrame, *, root: str = "root", seq_col: str = "seq"
 ) -> DataFrame:
     """Derive the relation events from the flagged assignment rows: one
     column → leaf-page per is_new_page row; one root → column per column,
-    carried by its earliest new-tile row. Exact over the WHOLE flagged
-    set (batch mode); per micro-batch the root → column rows need the
-    cross-batch dedup GeoStreamJob keeps (a column whose second tile is
-    first seen in a later batch would re-emit)."""
+    carried by its earliest new-tile row. The bbox zoom comes from the
+    leaf path itself ('z/x/y'). Exact over the WHOLE flagged set (batch
+    mode); per micro-batch the root → column rows need the cross-batch
+    dedup GeoStreamJob keeps (a column whose second tile is first seen in
+    a later batch would re-emit)."""
     from pyspark.sql.functions import pandas_udf
 
     from bucketizers_spark.operators.core import relation_row
@@ -209,7 +210,7 @@ class GeoStreamJob:
             return
         flagged = flagged.persist()
         rels = relations_from_flags(
-            flagged, zoom=self.zoom, root=self.root, seq_col=self.seq_col
+            flagged, root=self.root, seq_col=self.seq_col
         )
         emitted = self._emitted_columns(spark, batch_id)
         if emitted is not None:

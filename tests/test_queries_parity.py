@@ -17,8 +17,10 @@ SUBSET = [
     "subject_assign",
     "subject_relations",
     "time_tumbling",
+    "windowed_join",
     "time_session",
     "multi_subject_basic",
+    "multi_source_trie",
     "geo_tile",
     "dedup_exact",
     "dedup_simhash",

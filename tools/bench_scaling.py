@@ -11,11 +11,18 @@ levels (driver instruction). This harness measures BOTH:
    with threads at wide thread counts (no real 4x of
    physical CPU to be had), so raw wall-clock efficiency numbers here
    measure the box, not the engine.
-2. the ENGINE job — token-prefix trie (one-shuffle subtrie-walk algo,
-   page_size 200, depth 6) + tumbling-window aggregation + subject-page
-   assignment/relations over the deterministic synthetic token stream,
-   input pre-spread+cached outside the timed region (the sandbox input is
-   a single parquet file; an Iceberg table's scan splits scale with size).
+2. the ENGINE job — token-prefix trie via the SALTED cascade (page_size
+   200, depth 6, salt 64: the north_rule skew defusal — the zipf-hot
+   leading token holds ~46% of rows, so any per-node sort or per-group
+   walk would make one task the critical path at every core count) +
+   tumbling-window aggregation + subject-page assignment/relations over
+   the deterministic synthetic token stream, input pre-spread+cached
+   outside the timed region (the sandbox input is a single parquet file;
+   an Iceberg table's scan splits scale with size). Scaling is measured
+   where compute dominates scheduling (input >= 6M rows): the job issues
+   a fixed number of driver actions whose constant cost does not shrink
+   with cores — at 100 TB that serial fraction is noise, at toy sizes it
+   dominates and measures the scheduler, not the engine.
 
 Reported: raw efficiency (engine_speedup / 4) AND normalized efficiency
 (engine_speedup / calibration_speedup) — the engine's own scaling quality
@@ -59,7 +66,14 @@ n_rows = df.count()
 n_tok = df.agg(F.sum("n_tok")).collect()[0][0]
 
 t0 = time.time()
-res = token_prefix_trie(df, "tokens", page_size=200, max_depth=6, algo="subtrie", walk_level=2)
+# salted cascade: the zipf-hot leading tokens concentrate ~46% of rows on
+# one trie node — any per-node sort or per-group walk makes that node ONE
+# task (a serial fraction that caps scaling at any core count). The
+# salted path aggregates per (node, salt) then merges <= salt*page_size
+# candidate seqs per node: pure JVM, no skew-bound task. The grouped walk
+# only finishes the small tail.
+res = token_prefix_trie(df, "tokens", page_size=200, max_depth=6,
+                        salt_buckets=64, tail_threshold=50_000)
 a1 = res.assignments.count()
 r1 = res.relations.count()
 tum = (df.groupBy(F.window("event_time", "10 minutes")).agg(
