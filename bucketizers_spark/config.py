@@ -74,6 +74,15 @@ class JobSpec:
     # characters (north_star: "radix-trie over leading token n-grams")
     token_mode: bool = False
     max_depth: int = 64  # cascade safety cap (token mode: n-gram depth cap)
+    # substring-trie skew defusal (north_rule "salted repartitioning to
+    # defuse skew on hot prefixes"): > 0 switches the cascade to the
+    # per-(node, salt) aggregation path — set on skewed production inputs
+    salt_buckets: int = 0
+    # basic pager: a dense source-stamped seq makes paging a stateless
+    # narrow map (THE production default at 10^12 rows — a global rank,
+    # however distributed, is avoidable work); False runs the exact
+    # arrival-rank parity path
+    dense_seq: bool = False
 
     def __post_init__(self) -> None:
         validate_spec(self)
@@ -108,6 +117,8 @@ def validate_spec(spec: JobSpec) -> None:
         spec.window = win
     if not isinstance(spec.max_relations, int) or spec.max_relations < 1:
         raise ConfigError("maxRelations must be a positive integer")
+    if not isinstance(spec.salt_buckets, int) or spec.salt_buckets < 0:
+        raise ConfigError("saltBuckets must be a non-negative integer")
 
 
 def spec_from_dict(d: dict[str, Any]) -> JobSpec:

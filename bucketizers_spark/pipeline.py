@@ -37,7 +37,7 @@ from bucketizers_spark.operators.substring import token_prefix_trie
 
 
 def _build_basic(df: DataFrame, spec: JobSpec) -> BucketizeResult:
-    return basic_pager(df, page_size=spec.page_size)
+    return basic_pager(df, page_size=spec.page_size, dense_seq=spec.dense_seq)
 
 
 def _build_substring(df: DataFrame, spec: JobSpec) -> BucketizeResult:
@@ -48,6 +48,7 @@ def _build_substring(df: DataFrame, spec: JobSpec) -> BucketizeResult:
             page_size=spec.page_size,
             root=spec.root,
             max_depth=spec.max_depth,
+            salt_buckets=spec.salt_buckets,
         )
     return substring_trie(
         df,
@@ -55,6 +56,7 @@ def _build_substring(df: DataFrame, spec: JobSpec) -> BucketizeResult:
         page_size=spec.page_size,
         root=spec.root,
         max_depth=spec.max_depth,
+        salt_buckets=spec.salt_buckets,
     )
 
 

@@ -274,3 +274,36 @@ class TestConfig:
     def test_session_requires_gap(self):
         with pytest.raises(ConfigError):
             spec_from_dict({"strategy": "time", "window": {"kind": "session"}})
+
+    def test_salt_and_dense_knobs(self, spark):
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.pipeline import build
+
+        df = spark.range(0, 200).withColumnRenamed("id", "seq").withColumn(
+            "name", F.concat(F.lit("w"), (F.col("seq") % 7).cast("string"))
+        )
+        salted = build(
+            df, {"strategy": "substring", "column": "name", "page_size": 3,
+                 "salt_buckets": 4, "max_depth": 8}
+        )
+        plain = build(
+            df, {"strategy": "substring", "column": "name", "page_size": 3,
+                 "max_depth": 8}
+        )
+        a = {r.seq: r.bucket_id for r in salted.assignments.collect()}
+        b = {r.seq: r.bucket_id for r in plain.assignments.collect()}
+        assert a == b
+        dense = build(df, {"strategy": "basic", "page_size": 50,
+                           "dense_seq": True})
+        rank = build(df, {"strategy": "basic", "page_size": 50})
+        assert (
+            {r.seq: r.bucket_id for r in dense.assignments.collect()}
+            == {r.seq: r.bucket_id for r in rank.assignments.collect()}
+        )
+        import pytest as _pytest
+
+        from bucketizers_spark.config import ConfigError, spec_from_dict
+
+        with _pytest.raises(ConfigError):
+            spec_from_dict({"strategy": "basic", "salt_buckets": -1})
