@@ -389,3 +389,51 @@ class TestGlobalRank:
         b = basic_pager(df, page_size=50, dense_seq=True)
         want = {r.seq: r.bucket_id for r in b.assignments.collect()}
         assert got == want
+
+
+class TestPlanShapes:
+    """Pin the plan-shape guarantees the scale story rests on: a narrow
+    map must stay shuffle-free (any regression that sneaks an Exchange
+    into these paths is a 100 TB problem long before it is a local one)."""
+
+    @staticmethod
+    def _plan(df) -> str:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def test_subject_assign_is_narrow(self, spark):
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.operators.subject_page import subject_page
+
+        df = spark.range(0, 1000, 1, 8).select(
+            F.col("id").alias("seq"),
+            F.concat(F.lit("http://x/u/"), (F.col("id") % 7).cast("string")).alias("v"),
+        )
+        plan = self._plan(subject_page(df, "v", seq_col="seq").assignments)
+        assert "Exchange" not in plan
+
+    def test_dense_seq_pager_is_narrow(self, spark):
+        from bucketizers_spark.operators.basic import basic_pager
+
+        df = spark.range(0, 1000, 1, 8).withColumnRenamed("id", "seq")
+        plan = self._plan(basic_pager(df, page_size=50, dense_seq=True).assignments)
+        assert "Exchange" not in plan
+
+    def test_tumbling_assign_is_narrow(self, spark):
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.operators.time_window import tumbling_bucketizer
+
+        df = spark.range(0, 1000, 1, 8).select(
+            F.col("id").alias("seq"),
+            (F.lit("2026-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+        )
+        plan = self._plan(tumbling_bucketizer(df, "ts", "10 minutes").assignments)
+        assert "Exchange" not in plan
