@@ -250,7 +250,7 @@ def q_time_tumbling(spark, sf_dir):
 SQL_TIME_TUMBLING = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
        COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1
 """
 

@@ -40,6 +40,59 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return h, len(lines)
 
 
+def _spark_dtype_class(dt: str) -> str:
+    """Collapse a Spark simpleString dtype to a comparison class."""
+    d = dt.lower()
+    if d.startswith("array"):
+        return "array"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("timestamp"):
+        return "ts"
+    return d
+
+
+def _duck_dtype_class(dt: str) -> str:
+    """Collapse a DuckDB type string to the same comparison classes.
+
+    HUGEINT maps to its own class on purpose: duckdb.fetchdf() widens it
+    to float64, so a HUGEINT oracle column hash-mismatches an int64 Spark
+    column in the driver even when every value is equal (the r2
+    time_tumbling failure)."""
+    d = str(dt).upper()
+    if d.endswith("[]"):
+        return "array"
+    if d.startswith("DECIMAL"):
+        return "decimal"
+    if d in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if d in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if d in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if d.startswith("TIMESTAMP"):
+        return "ts"
+    if d == "VARCHAR":
+        return "string"
+    return d.lower()
+
+
+def dtype_mismatches(sdf, rel) -> list[str]:
+    s = {f.name: _spark_dtype_class(f.dataType.simpleString())
+         for f in sdf.schema.fields}
+    d = {c: _duck_dtype_class(t) for c, t in zip(rel.columns, rel.types)}
+    out = []
+    for col in sorted(set(s) & set(d)):
+        if s[col] != d[col]:
+            out.append(f"{col}: spark={s[col]} duck={d[col]}")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -89,7 +142,8 @@ def main() -> int:
         sh, sn = frame_hash(scols, srows)
         dh, dn = frame_hash(dcols, drows)
         ok_cols = sorted(scols) == sorted(dcols)
-        status = "OK  " if (sh == dh and ok_cols) else "FAIL"
+        bad_dtypes = dtype_mismatches(sdf, rel)
+        status = "OK  " if (sh == dh and ok_cols and not bad_dtypes) else "FAIL"
         print(
             f"{status}  {name}: spark {sn} rows [{sh}] vs duckdb {dn} rows "
             f"[{dh}] cols_match={ok_cols} ({time.time() - t0:.1f}s)"
@@ -98,6 +152,8 @@ def main() -> int:
             failures.append(name)
             if not ok_cols:
                 print(f"      spark cols={sorted(scols)} duck cols={sorted(dcols)}")
+            if bad_dtypes:
+                print(f"      dtype mismatch (driver hash trap): {bad_dtypes}")
             sset = {tuple(norm_cell(v) for v in r) for r in srows}
             dset = {tuple(norm_cell(v) for v in r) for r in drows}
             so = sorted(sset - dset)[:3]
