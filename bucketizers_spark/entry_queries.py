@@ -1082,6 +1082,8 @@ def _trie_sql(
     depth: int,
     out: str,
     parent_col: str | None = None,
+    parent_expr: str | None = None,
+    tok_mod: int = 256,
 ) -> str:
     """Generate the unrolled trie-cascade oracle SQL.
 
@@ -1092,15 +1094,22 @@ def _trie_sql(
     With ``parent_col``, a DEDICATED TRIE PER PARENT (the multi-composition
     child-instance-per-parent-bucket semantics): every window/threshold
     partitions on (parent, node); the child root collapses onto the parent
-    and child node names are prefixed ``parent/``."""
+    and child node names are prefixed ``parent/``. ``parent_expr`` derives
+    the parent from the row instead of reading an existing column (aliased
+    to ``parent_col`` in the prep CTE); ``tok_mod`` sets the token-alphabet
+    size (small values make hot prefixes and deep tries)."""
     ps, ps1 = page_size, page_size - 1
     pc = f"{parent_col}, " if parent_col else ""
+    pc_prep = (
+        f"{parent_expr or parent_col} AS {parent_col}, " if parent_col else ""
+    )
     pby = f"{parent_col}, node" if parent_col else "node"
+    tok_sql = _TOK_SQL.replace("% 256", f"% {tok_mod}")
     if mode == "char":
         npos = "list_filter(range(1, length(v) + 1), i -> substr(v, i, 1) <> '+')"
         prep = f"""
 prep AS (
-  SELECT doc_id AS seq, {pc}
+  SELECT doc_id AS seq, {pc_prep}
          replace(lower(replace(regexp_replace(trim(text), '[,'']', '', 'g'),
                                '-', ' ')), ' ', '+') AS v
   FROM documents
@@ -1114,8 +1123,8 @@ chain AS (
     else:
         prep = f"""
 prep AS (
-  SELECT doc_id AS seq, {pc}
-         list_transform(string_split(text, ' '), w -> {_TOK_SQL}) AS toks
+  SELECT doc_id AS seq, {pc_prep}
+         list_transform(string_split(text, ' '), w -> {tok_sql}) AS toks
   FROM documents
 ),
 chain AS (
@@ -1252,8 +1261,53 @@ def q_multi_source_trie(spark, sf_dir):
 SQL_SUBSTRING_TRIE = _trie_sql("char", _TRIE_PS, _TRIE_DEPTH, "assignments")
 SQL_SUBSTRING_TRIE_RELATIONS = _trie_sql("char", _TRIE_PS, _TRIE_DEPTH, "relations")
 SQL_TOKEN_PREFIX_TRIE = _trie_sql("token", _TOK_PS, _TOK_DEPTH, "assignments")
+def q_multi_giant_parent_trie(spark, sf_dir):
+    """S5 at the giant-parent scale point: same child-trie-per-parent
+    semantics as multi_source_trie, but forced onto the DISTRIBUTED
+    cascade keyed by (parent, node)
+    (operators/substring._run_cascade ``parent_col`` path) — the plan a
+    3-distinct-value parent column over 10^12 rows needs, where the
+    per-parent walk would put a whole parent's subtree in one Python task
+    (MultiBucketizer.ts:94-96 has no parent-size bound). Token mode
+    exercises the north-star payload (radix trie over leading token
+    n-grams); salt_buckets defuses the hot root-adjacent prefixes. Hash-
+    checked against the same level-unrolled per-parent oracle shape as
+    the walk path, so walk == cascade == oracle.
+
+    The parent is DERIVED 3-valued (source id mod 3) and the token
+    alphabet is 8 symbols with a tiny page size, so the fixture actually
+    stresses the giant-parent regime: per-parent roots overflow at page 4
+    and the cascade runs multiple hot levels deep to the valve."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "parent3",
+        F.concat(
+            F.lit("p"),
+            F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(3)).cast(
+                "string"
+            ),
+        ),
+    ).withColumn(
+        "tokens",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.pmod(F.ascii(w) * 7 + F.length(w) * 13, F.lit(8)),
+        ),
+    )
+    out = trie_within_parent(
+        docs, "parent3", "tokens", mode="token",
+        page_size=4, max_depth=_TOK_DEPTH, seq_col="doc_id",
+        strategy="cascade", salt_buckets=8,
+    )
+    return out.assignments.select("doc_id", "bucket_id")
+
+
 SQL_MULTI_SOURCE_TRIE = _trie_sql(
     "char", _TRIE_PS, _TRIE_DEPTH, "assignments", parent_col="source"
+)
+SQL_MULTI_GIANT_PARENT_TRIE = _trie_sql(
+    "token", 4, _TOK_DEPTH, "assignments", parent_col="parent3",
+    parent_expr="'p' || CAST(CAST(substr(source, 4, 10) AS INTEGER) % 3 AS VARCHAR)",
+    tok_mod=8,
 )
 
 
@@ -1289,6 +1343,7 @@ QUERIES = {
     "substring_trie_relations": q_substring_trie_relations,
     "token_prefix_trie": q_token_prefix_trie,
     "multi_source_trie": q_multi_source_trie,
+    "multi_giant_parent_trie": q_multi_giant_parent_trie,
 }
 
 ORACLES = {
@@ -1320,4 +1375,5 @@ ORACLES = {
     "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,
     "multi_source_trie": SQL_MULTI_SOURCE_TRIE,
+    "multi_giant_parent_trie": SQL_MULTI_GIANT_PARENT_TRIE,
 }

@@ -191,27 +191,71 @@ def trie_within_parent(
     seq_col: str = "seq",
     ascii_fast: bool = True,
     out_col: str = "bucket_id",
+    strategy: str = "auto",  # "auto" | "walk" | "cascade"
+    walk_rows_threshold: int = 250_000,
+    salt_buckets: int = 0,
+    tail_threshold: int = 100_000,
 ) -> BucketizeResult:
-    """Per-parent substring / token-prefix trie child: the exact reference
-    walk (operators/substring._walk incl. the root-capacity phase) per
-    parent group in ONE applyInPandas shuffle. Chain preparation
-    (normalize, candidate positions) stays JVM-side on the slim working
-    set; group size is the parent bucket's member count. Child node names
+    """Per-parent substring / token-prefix trie child (one dedicated child
+    instance per parent bucket, MultiBucketizer.ts:94-96). Child node names
     are prefixed ``parent/``; the child's root collapses onto the parent.
 
-    Scale contract: ONE task sorts and walks each parent's members — right
-    when parents are capacity-bounded stage-1 buckets (pager pages,
-    subject pages), wrong for a handful of giant parents (a low-cardinality
-    blocking column): there, run the distributed cascade per parent
-    instead (the level machinery keyed by (parent, node) — not yet wired;
-    see _run_cascade)."""
+    Two physical strategies, same semantics:
+
+    - ``walk``: the exact reference walk (operators/substring._walk incl.
+      the root-capacity phase) per parent group in ONE applyInPandas
+      shuffle. Chain preparation (normalize, candidate positions) stays
+      JVM-side on the slim working set; group size is the parent bucket's
+      member count. Right when parents are capacity-bounded stage-1
+      buckets (pager pages, subject pages).
+    - ``cascade``: the distributed level cascade keyed by (parent, node)
+      (operators/substring._run_cascade with ``parent_col``). No single
+      task ever holds a whole parent — the scale path for giant
+      low-cardinality parents (e.g. a 3-value blocking column over 10^12
+      rows), where the walk would put one parent's entire subtree in one
+      Python task.
+
+    ``auto`` picks per input: cascade when any parent exceeds
+    ``walk_rows_threshold`` members (one map-side-combined groupBy count on
+    the slim parent column — cheap next to either strategy's own work)."""
     from bucketizers_spark.operators.substring import (
         _char_chain,
+        _run_cascade,
         _token_chain,
         _walk,
     )
 
     spark = df.sparkSession
+    if strategy == "auto":
+        mx_row = (
+            df.groupBy(parent_col)
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()
+        )
+        mx = mx_row[0]["mx"] or 0
+        strategy = "cascade" if mx > walk_rows_threshold else "walk"
+    if strategy == "cascade":
+        chain = (
+            _char_chain(value_col, ascii_fast, max_depth)
+            if mode == "char"
+            else _token_chain(value_col, max_depth)
+        )
+        res = _run_cascade(
+            df,
+            chain,
+            page_size=page_size,
+            root="",  # unused: the per-parent root is the parent itself
+            seq_col=seq_col,
+            max_depth=max_depth,
+            salt_buckets=salt_buckets,
+            tail_threshold=tail_threshold,
+            parent_col=parent_col,
+        )
+        assignments = res.assignments
+        if out_col != "bucket_id":
+            assignments = assignments.withColumnRenamed("bucket_id", out_col)
+        return BucketizeResult(assignments, res.relations, res.seals)
     chain = (
         _char_chain(value_col, ascii_fast, max_depth)
         if mode == "char"

@@ -303,10 +303,14 @@ def _grouped_walk(
     seq_col: str,
     max_depth: int,
     state: DataFrame | None = None,
+    parent_col: str | None = None,
 ) -> DataFrame:
     """Grouped exact walk: key the still-unplaced rows by their level-L
     candidate node and run the sequential reference walk per group in
-    applyInPandas. Correct because ALL capacity interactions at chain
+    applyInPandas. With ``parent_col`` the group key is (parent, node) —
+    one dedicated child-trie subtree per parent bucket
+    (MultiBucketizer.ts:94-96) — and emitted names are mapped
+    ``parent/node`` with the child root collapsing onto the parent. Correct because ALL capacity interactions at chain
     levels >= L happen strictly within the subtrie under each level-L
     node (a node's arrivals all share its level-L prefix), and arrivals
     at the level-L nodes themselves are exactly these rows. One shuffle
@@ -330,10 +334,12 @@ def _grouped_walk(
     sep = chain.sep
     py_nodes = chain.py_nodes
 
-    def walk_with_counters(pdf: pd.DataFrame, counters: dict) -> pd.DataFrame:
+    def walk_with_counters(
+        pdf: pd.DataFrame, counters: dict, walk_root: str = root
+    ) -> pd.DataFrame:
         records = pdf.sort_values(seq_col).to_dict("records")
         buckets, relations, touched = _walk(
-            records, py_nodes, sep, level, page_size, root, seq_col,
+            records, py_nodes, sep, level, page_size, walk_root, seq_col,
             max_depth, counters,
         )
         rows = [
@@ -378,6 +384,36 @@ def _grouped_walk(
         f"{seq_col} long, bucket_id string, kind string, "
         "from_bucket string, vals array<string>, cnt long"
     )
+    if parent_col is not None:
+        if state is not None:
+            raise ValueError(
+                "carried node state is unsupported in the per-parent walk; "
+                "compose streaming stages via staged files instead"
+            )
+        # sentinel root: root-collapse is detected by name comparison, so
+        # the name must be impossible as a trie node ('\x00' never appears
+        # in a normalized value or dash-joined token key)
+        sentinel = "\x00root"
+
+        def walk_parent(pdf: pd.DataFrame) -> pd.DataFrame:
+            parent = str(pdf[parent_col].iloc[0])
+            out = walk_with_counters(pdf, {}, walk_root=sentinel)
+            out = out[out["kind"] != "c"]
+            named = out["bucket_id"].notna()
+            out.loc[named, "bucket_id"] = parent + "/" + out.loc[named, "bucket_id"]
+            isrel = out["kind"] == "r"
+            out.loc[isrel, "from_bucket"] = [
+                parent if f == sentinel else f"{parent}/{f}"
+                for f in out.loc[isrel, "from_bucket"]
+            ]
+            return out
+
+        return (
+            remaining.groupBy(parent_col, chain.node(level).alias("_g"))
+            .applyInPandas(walk_parent, out_schema)
+            .localCheckpoint()
+        )
+
     keyed = remaining.groupBy(chain.node(level).alias("_g"))
     if state is None:
 
@@ -426,6 +462,7 @@ def _run_cascade(
     salt_buckets: int = 0,
     tail_threshold: int = 100_000,
     grouped_walk_level: int | None = None,
+    parent_col: str | None = None,
 ) -> BucketizeResult:
     """Run the cascade; ``node_state`` (node string, cnt long) carries trie
     counters from previous micro-batches for the incremental streaming path
@@ -433,12 +470,26 @@ def _run_cascade(
     capacity is page_size - cnt, and chain-exhausted multi-word members get
     no bucket even as first in-batch arrivals). With
     ``emit_counter_updates`` the result carries a ``counter_updates``
-    DataFrame (node, cnt) of post-batch totals for all touched nodes."""
+    DataFrame (node, cnt) of post-batch totals for all touched nodes.
+
+    With ``parent_col`` every level is keyed by (parent, node): a dedicated
+    child-trie instance per parent bucket (MultiBucketizer.ts:94-96) whose
+    root collapses onto the parent itself and whose node names map to
+    ``parent/node`` (mapTerm, ts:123-141). This is the scale path for
+    giant low-cardinality parents — no single task ever holds a whole
+    parent; the hot (parent, node) pairs are defused by the same salted
+    two-phase placement as the standalone trie. Carried node state is not
+    supported per-parent (compose streaming stages via staged files)."""
     spark = df.sparkSession
+    if parent_col is not None and (node_state is not None or emit_counter_updates):
+        raise ValueError(
+            "node_state/counter updates are unsupported with parent_col"
+        )
+    pcols = [parent_col] if parent_col else []
     # the cascade runs on a SLIM working set — seq + capped chain columns —
     # so per-level shuffles and hot-node sorts never carry the payload;
     # the payload is joined back onto the (seq, bucket_id) map at the end
-    slim_in = df.select(seq_col, *chain.input_cols)
+    slim_in = df.select(seq_col, *pcols, *chain.input_cols)
     work = chain.slim(chain.prepare(slim_in))
 
     assignment_parts: list[DataFrame] = []
@@ -457,60 +508,107 @@ def _run_cascade(
     # (the exhausted-single-word fallthrough with substring=''); a MULTI-word
     # value normalizing to only separators (e.g. '- -' → '++') exhausts its
     # chain without the single-word push → NO bucket (NULL).
+    empty_bucket = (
+        F.concat(F.col(parent_col), F.lit("/")) if parent_col else F.lit("")
+    )
     empties = work.where(F.col("_m") == 0)
     work = work.where(F.col("_m") > 0)
     assignment_parts.append(
         empties.select(
             seq_col,
             F.when(F.col("_multi"), F.lit(None).cast("string"))
-            .otherwise(F.lit(""))
+            .otherwise(empty_bucket)
             .alias("bucket_id"),
         )
     )
 
-    # ---- level 0: the root. Global top-(remaining capacity) by seq — a
-    # threshold, not a single-partition window (scale: O(N) scan + tiny
-    # sort of K rows). Root counter is seeded (SubstringBucketizer.ts:30-31)
-    # so the root never "creates" and never emits a relation.
-    root_cnt = 0
-    if state is not None:
-        row = state.where(F.col("_st_node") == root).collect()
-        root_cnt = row[0]["_st_cnt"] if row else 0
-    root_cap = max(page_size - root_cnt, 0)
-    total_work = work.count()
-    thr = None
-    if root_cap > 0 and total_work > 0:
-        head = (
-            work.select(seq_col).orderBy(seq_col).limit(root_cap)
-            .agg(F.max(seq_col).alias("thr"))
-            .collect()
+    if parent_col is not None:
+        # ---- level 0 per parent: each parent bucket is its own seeded
+        # child root with page_size capacity. Per-parent top-K by seq via
+        # the salted two-phase threshold (each (parent, salt) group
+        # contributes at most page_size candidate seqs; the merge handles
+        # ≤ nsalt·page_size values per parent) — a giant parent is never
+        # sorted in one task.
+        nsalt = salt_buckets if salt_buckets > 0 else 32
+        cand = work.groupBy(
+            parent_col,
+            F.pmod(F.hash(F.col(seq_col)), F.lit(nsalt)).alias("_salt"),
+        ).agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.col(seq_col))), 1, page_size
+            ).alias("_cand")
         )
-        thr = head[0]["thr"] if head else None
-    if thr is not None:
-        placed0 = work.where(F.col(seq_col) <= F.lit(thr))
+        thr_df = (
+            cand.groupBy(parent_col)
+            .agg(F.array_sort(F.flatten(F.collect_list("_cand"))).alias("_merged"))
+            .select(
+                parent_col,
+                F.when(
+                    F.size("_merged") <= page_size, F.lit(None).cast("long")
+                )
+                .otherwise(F.element_at("_merged", page_size))
+                .alias("_rthr"),
+            )
+        )
+        # thr_df is one row per distinct parent — broadcast (the cascade
+        # path targets few giant parents; high-cardinality parents belong
+        # on the per-group walk, where groups are small)
+        work = work.join(F.broadcast(thr_df), parent_col, "left").localCheckpoint()
+        placed0 = work.where(
+            F.col("_rthr").isNull() | (F.col(seq_col) <= F.col("_rthr"))
+        )
         assignment_parts.append(
-            placed0.select(seq_col, F.lit(root).alias("bucket_id"))
+            placed0.select(seq_col, F.col(parent_col).alias("bucket_id"))
         )
-        if emit_counter_updates:
-            counter_parts.append(
-                placed0.agg(
-                    (F.count(F.lit(1)) + F.lit(root_cnt)).alias("cnt")
-                ).select(F.lit(root).alias("node"), "cnt")
-            )
-        remaining = work.where(F.col(seq_col) > F.lit(thr))
+        remaining = work.where(
+            F.col("_rthr").isNotNull() & (F.col(seq_col) > F.col("_rthr"))
+        ).drop("_rthr")
+        remaining_cnt = remaining.count()
+        level = 0
     else:
-        remaining = work
-        if emit_counter_updates and root_cnt:
-            counter_parts.append(
-                spark.createDataFrame([(root, root_cnt)], "node string, cnt long")
+        # ---- level 0: the root. Global top-(remaining capacity) by seq — a
+        # threshold, not a single-partition window (scale: O(N) scan + tiny
+        # sort of K rows). Root counter is seeded (SubstringBucketizer.ts:30-31)
+        # so the root never "creates" and never emits a relation.
+        root_cnt = 0
+        if state is not None:
+            row = state.where(F.col("_st_node") == root).collect()
+            root_cnt = row[0]["_st_cnt"] if row else 0
+        root_cap = max(page_size - root_cnt, 0)
+        total_work = work.count()
+        thr = None
+        if root_cap > 0 and total_work > 0:
+            head = (
+                work.select(seq_col).orderBy(seq_col).limit(root_cap)
+                .agg(F.max(seq_col).alias("thr"))
+                .collect()
             )
+            thr = head[0]["thr"] if head else None
+        if thr is not None:
+            placed0 = work.where(F.col(seq_col) <= F.lit(thr))
+            assignment_parts.append(
+                placed0.select(seq_col, F.lit(root).alias("bucket_id"))
+            )
+            if emit_counter_updates:
+                counter_parts.append(
+                    placed0.agg(
+                        (F.count(F.lit(1)) + F.lit(root_cnt)).alias("cnt")
+                    ).select(F.lit(root).alias("node"), "cnt")
+                )
+            remaining = work.where(F.col(seq_col) > F.lit(thr))
+        else:
+            remaining = work
+            if emit_counter_updates and root_cnt:
+                counter_parts.append(
+                    spark.createDataFrame([(root, root_cnt)], "node string, cnt long")
+                )
 
-    level = 0
-    # no job needed: seq is unique, so the root places exactly
-    # min(root_cap, total_work) rows
-    remaining_cnt = (
-        max(total_work - root_cap, 0) if thr is not None else total_work
-    )
+        level = 0
+        # no job needed: seq is unique, so the root places exactly
+        # min(root_cap, total_work) rows
+        remaining_cnt = (
+            max(total_work - root_cap, 0) if thr is not None else total_work
+        )
     while True:
         level += 1
         if remaining_cnt == 0:
@@ -518,8 +616,11 @@ def _run_cascade(
         if level > max_depth:
             # safety valve (engine knob; the reference has no cap): force-
             # assign whatever is left to its current node, uncounted
+            valve_node = chain.node(level - 1)
+            if parent_col:
+                valve_node = F.concat_ws("/", F.col(parent_col), valve_node)
             assignment_parts.append(
-                remaining.withColumn("bucket_id", chain.node(level - 1))
+                remaining.withColumn("bucket_id", valve_node)
                 .select(seq_col, "bucket_id")
             )
             break
@@ -542,6 +643,7 @@ def _run_cascade(
                 seq_col=seq_col,
                 max_depth=max_depth,
                 state=state,
+                parent_col=parent_col,
             )
             assignment_parts.append(
                 walked.where(F.col("kind") == "a").select(seq_col, "bucket_id")
@@ -577,8 +679,8 @@ def _run_cascade(
                 ).drop("_st_node")
             else:
                 lvl = lvl.withColumn("_st_cnt", F.lit(None).cast("long"))
-            w = Window.partitionBy("_node").orderBy(seq_col)
-            wfull = Window.partitionBy("_node")
+            w = Window.partitionBy(*pcols, "_node").orderBy(seq_col)
+            wfull = Window.partitionBy(*pcols, "_node")
             step = (
                 lvl.withColumn("_rn", F.row_number().over(w))
                 .withColumn(
@@ -613,9 +715,16 @@ def _run_cascade(
             )
             placed_nt = ~F.col("_terminal") & (F.col("_ntrank") <= cap_nt)
             is_first = F.col("_rn") == 1
-            relation_parent = (
-                F.lit(root) if level == 1 else chain.parent(level)
-            )
+            if parent_col:
+                relation_parent = (
+                    F.col(parent_col)
+                    if level == 1
+                    else F.concat_ws("/", F.col(parent_col), chain.parent(level))
+                )
+            else:
+                relation_parent = (
+                    F.lit(root) if level == 1 else chain.parent(level)
+                )
         else:
             # ---- salted path (north_rule skew defusal): capacity placement
             # only needs each node's cap-th smallest NT seq. Phase A sorts
@@ -627,7 +736,7 @@ def _run_cascade(
                 "_salt", F.pmod(F.hash(F.col(seq_col)), F.lit(salt_buckets))
             )
             nt_seq = F.when(~F.col("_terminal"), F.col(seq_col))
-            phase_a = salted.groupBy("_node", "_salt").agg(
+            phase_a = salted.groupBy(*pcols, "_node", "_salt").agg(
                 F.slice(
                     F.array_sort(
                         F.collect_list(nt_seq)
@@ -639,7 +748,7 @@ def _run_cascade(
                 F.min_by("_terminal", F.col(seq_col)).alias("_lterm"),
                 F.sum((~F.col("_terminal")).cast("long")).alias("_lnt"),
             )
-            phase_b = phase_a.groupBy("_node").agg(
+            phase_b = phase_a.groupBy(*pcols, "_node").agg(
                 F.array_sort(F.flatten(F.collect_list("_cand"))).alias("_merged"),
                 F.min("_lmin").alias("_min_seq"),
                 F.min_by("_lterm", F.col("_lmin")).alias("_first_term"),
@@ -663,6 +772,7 @@ def _run_cascade(
                 )
             )
             node_aggs = phase_b.select(
+                *pcols,
                 "_node",
                 "_min_seq",
                 "_first_term",
@@ -680,7 +790,7 @@ def _run_cascade(
                 .alias("_nt_thr"),
             )
 
-            step = lvl.join(node_aggs, "_node").localCheckpoint()
+            step = lvl.join(node_aggs, [*pcols, "_node"]).localCheckpoint()
             exists = F.col("_st_cnt").isNotNull()
             placed_nt = ~F.col("_terminal") & (
                 F.col("_nt_thr").isNull()
@@ -688,9 +798,16 @@ def _run_cascade(
             )
             is_first = F.col(seq_col) == F.col("_min_seq")
             raw_parent = chain.parent_of(F.col("_node"))
-            relation_parent = F.when(raw_parent == "", F.lit(root)).otherwise(
-                raw_parent
-            )
+            if parent_col:
+                relation_parent = F.when(
+                    raw_parent == "", F.col(parent_col)
+                ).otherwise(
+                    F.concat_ws("/", F.col(parent_col), raw_parent)
+                )
+            else:
+                relation_parent = F.when(
+                    raw_parent == "", F.lit(root)
+                ).otherwise(raw_parent)
 
         # terminal arrivals: on a fresh node the first one creates+counts;
         # all later single-word terminals are assigned uncounted
@@ -702,12 +819,17 @@ def _run_cascade(
             )
         )
         term_null = F.col("_terminal") & ~term_assigned
+        bucket_name = (
+            F.concat_ws("/", F.col(parent_col), F.col("_node"))
+            if parent_col
+            else F.col("_node")
+        )
         leaving = step.where(placed_nt | F.col("_terminal"))
         assignment_parts.append(
             leaving.select(
                 seq_col,
                 F.when(term_null, F.lit(None).cast("string"))
-                .otherwise(F.col("_node"))
+                .otherwise(bucket_name)
                 .alias("bucket_id"),
             )
         )
@@ -716,7 +838,7 @@ def _run_cascade(
                 *relation_row(
                     relation_parent,
                     "Substring",
-                    F.col("_node"),
+                    bucket_name,
                     values=F.split(F.col("_node"), f"[{chain.sep}]"),
                     seq=F.col(seq_col),
                 )

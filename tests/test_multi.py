@@ -125,6 +125,63 @@ class TestTrieWithinParent:
         assert got_assign == want_assign
         assert got_rels == want_rels
 
+    @staticmethod
+    def _collect(res):
+        assign = {(r.seq, r.bucket_id) for r in res.assignments.collect()}
+        rels = {
+            (r.from_bucket, r.to_bucket, r.created_at_seq)
+            for r in res.relations.collect()
+        }
+        return assign, rels
+
+    @pytest.mark.parametrize("salt_buckets,tail", [(0, 100_000), (4, 0), (4, 30)])
+    def test_cascade_equals_walk(self, spark, parented, salt_buckets, tail):
+        """The distributed (parent, node)-keyed cascade is semantically
+        identical to the per-parent reference walk — window path, salted
+        path, and the grouped finisher handoff all covered."""
+        walk = trie_within_parent(
+            parented, "parent", "name", page_size=2, max_depth=16,
+            seq_col="seq", strategy="walk",
+        )
+        casc = trie_within_parent(
+            parented, "parent", "name", page_size=2, max_depth=16,
+            seq_col="seq", strategy="cascade",
+            salt_buckets=salt_buckets, tail_threshold=tail,
+        )
+        assert self._collect(casc) == self._collect(walk)
+
+    def test_cascade_never_walks_a_parent_in_one_task(
+        self, spark, parented, monkeypatch
+    ):
+        """Giant-parent scale pin: with the finisher disabled the cascade
+        must place every row through JVM window/agg levels — no pandas
+        group ever receives a parent's subtree (the walk path's failure
+        mode for a low-cardinality parent column over 10^12 rows)."""
+        from bucketizers_spark.operators import substring as sub_mod
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("grouped walk invoked on the cascade path")
+
+        monkeypatch.setattr(sub_mod, "_grouped_walk", boom)
+        res = trie_within_parent(
+            parented, "parent", "name", page_size=2, max_depth=16,
+            seq_col="seq", strategy="cascade", tail_threshold=0,
+        )
+        assert res.assignments.count() == 120
+
+    def test_auto_routes_giant_parents_to_cascade(self, spark, parented):
+        """auto must switch to the cascade once any parent exceeds the walk
+        threshold, with identical output."""
+        walk = trie_within_parent(
+            parented, "parent", "name", page_size=2, max_depth=16,
+            seq_col="seq", strategy="walk",
+        )
+        auto = trie_within_parent(
+            parented, "parent", "name", page_size=2, max_depth=16,
+            seq_col="seq", strategy="auto", walk_rows_threshold=10,
+        )
+        assert self._collect(auto) == self._collect(walk)
+
 
 class TestFactoryMulti:
     def test_basic_then_subject(self, spark, parented):

@@ -21,6 +21,7 @@ SUBSET = [
     "time_session",
     "multi_subject_basic",
     "multi_source_trie",
+    "multi_giant_parent_trie",
     "geo_tile",
     "dedup_exact",
     "dedup_simhash",
