@@ -35,7 +35,10 @@ TREE = "https://w3id.org/tree#"
 
 _TOKEN_RE = re.compile(
     r"""<[^>]*>                 # IRI
-      | "(?:[^"\\]|\\.)*"(?:\^\^\S+|@[\w-]+)?   # literal
+      | "(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[^\s;,()]+)|@[\w-]+)?   # literal
+                                # datatype suffix must stop at ;/,/(/) so a
+                                # p-o list after a typed literal still splits;
+                                # a trailing statement '.' is stripped below
       | @prefix | @base
       | \(|\)|;|,
       | [^\s;,()]+              # bare token (prefixed name, number, '.', 'a')
@@ -119,8 +122,39 @@ class _Parser:
         if t.startswith("<") and t.endswith(">"):
             return t[1:-1]
         if t.startswith('"'):
-            m = re.match(r'"((?:[^"\\]|\\.)*)"', t)
-            return m.group(1)
+            m = re.match(r'"((?:[^"\\]|\\.)*)"(?:\^\^(?P<dt>\S+))?', t)
+            body = re.sub(
+                r"\\(.)",
+                lambda e: {"n": "\n", "t": "\t", "r": "\r"}.get(
+                    e.group(1), e.group(1)
+                ),
+                m.group(1),
+            )
+            dt = m.group("dt")
+            if dt:
+                # a datatyped literal carries the same RDF value as the
+                # plain form (shape.ttl declares sh:datatype xsd:integer;
+                # the reference's N3 stack accepts "50"^^xsd:integer where
+                # this subset would otherwise reject it as a string)
+                if dt.startswith("<") and dt.endswith(">"):
+                    dt_iri = dt[1:-1]
+                elif ":" in dt:
+                    pfx, local_name = dt.split(":", 1)
+                    dt_iri = self.prefixes.get(pfx, pfx + ":") + local_name
+                else:
+                    dt_iri = dt
+                local = dt_iri.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+                if local in (
+                    "integer", "int", "long", "short", "byte",
+                    "nonNegativeInteger", "positiveInteger",
+                    "unsignedInt", "unsignedLong",
+                ):
+                    return int(body)
+                if local in ("decimal", "double", "float"):
+                    return float(body)
+                if local == "boolean":
+                    return body == "true"
+            return body
         if re.fullmatch(r"[+-]?\d+", t):
             return int(t)
         if re.fullmatch(r"[+-]?\d*\.\d+", t):
@@ -242,14 +276,67 @@ def _path_str(path: Any) -> str:
     return str(path)
 
 
+def _map_props(triples, s, kind: str) -> JobSpec:
+    """Map a strategy subject's properties onto a JobSpec (the per-factory
+    ldConfig extraction, BucketizerFactories.ts:15-72)."""
+    kwargs: dict[str, Any] = {"strategy": kind}
+    page = _objects(triples, s, LDES + "pageSize")
+    if page:
+        kwargs["page_size"] = page[0]
+    if kind != "basic":
+        paths = _objects(triples, s, TREE + "path")
+        if not paths:
+            raise ConfigError(f"strategy {s} ({kind}) is missing tree:path")
+        path = paths[0]
+        kwargs["property_path"] = _path_str(path)
+        last = path[-1] if isinstance(path, list) else path
+        kwargs["column"] = _local_name(str(last))
+    if kind == "geospatial":
+        zooms = _objects(triples, s, LDES + "zoomLevel")
+        if not zooms:
+            raise ConfigError(f"strategy {s} is missing ldes:zoomLevel")
+        kwargs["zoom"] = zooms[0]
+    return JobSpec(**kwargs)
+
+
+def _child_spec(triples, s) -> JobSpec:
+    """Resolve a multi child subject the way MultiBucketizerFactory.ldConfig
+    does: read its properties directly, with NO rdf:type or shape gate (the
+    reference's own MultiBucketizer.test.ts fixture uses an untyped child).
+    Unknown/missing bucketType still rejects — there is no factory for it."""
+    bts = _objects(triples, s, LDES + "bucketType")
+    if bts == [LDES + "multi"]:
+        return _multi_spec(triples, s)
+    if len(bts) != 1 or bts[0] not in _BUCKET_TYPES:
+        raise ConfigError(f"multi child {s} has no known ldes:bucketType")
+    return _map_props(triples, s, _BUCKET_TYPES[bts[0]])
+
+
+def _multi_spec(triples, s) -> JobSpec:
+    cfgs = _objects(triples, s, LDES + "configs")
+    if len(cfgs) != 1 or not isinstance(cfgs[0], list) or not cfgs[0]:
+        raise ConfigError(
+            "ldes:multi requires exactly one non-empty "
+            "ldes:configs collection"
+        )
+    return JobSpec(
+        strategy="multi",
+        configs=[_child_spec(triples, c) for c in cfgs[0]],
+    )
+
+
 def spec_from_ld(triples, subject: str | None = None) -> JobSpec:
     """createBucketizerLD's config extraction: validate against the shape,
     then map the strategy's triples onto a JobSpec.
 
-    ``ldes:multi`` is handled before the shape gate — the reference's
-    shape enum excludes multi; MultiBucketizerFactory.ldConfig parses
-    ``ldes:configs (s1 s2 ...)`` itself (MultiBucketizer.ts:22-44) and
-    each child subject goes through the normal gate recursively."""
+    ``ldes:multi`` is an INTENTIONAL EXTENSION of the front door, handled
+    before the shape gate: the reference's shape enum excludes multi
+    (createBucketizerLD rejects it; it is only reachable via
+    MultiBucketizerFactory.ldConfig directly, MultiBucketizer.ts:22-44).
+    This engine accepts a TYPED ldes:multi strategy here so one entry
+    point covers both, and resolves each ``ldes:configs`` child exactly
+    like the reference's ldConfig does — by properties, with no rdf:type
+    or shape requirement on the child subject."""
     for s2, p2, o2 in triples:
         if (
             p2 == RDF_TYPE
@@ -257,32 +344,12 @@ def spec_from_ld(triples, subject: str | None = None) -> JobSpec:
             and (subject is None or s2 == subject)
             and _objects(triples, s2, LDES + "bucketType") == [LDES + "multi"]
         ):
-            cfgs = _objects(triples, s2, LDES + "configs")
-            if len(cfgs) != 1 or not isinstance(cfgs[0], list) or not cfgs[0]:
-                raise ConfigError(
-                    "ldes:multi requires exactly one non-empty "
-                    "ldes:configs collection"
-                )
-            return JobSpec(
-                strategy="multi",
-                configs=[spec_from_ld(triples, c) for c in cfgs[0]],
-            )
+            return _multi_spec(triples, s2)
     s = get_valid_shape(triples, subject)
     if s is None:
         raise ConfigError("No valid shape found!")  # bucketizers.ts:51
     kind = _BUCKET_TYPES[_objects(triples, s, LDES + "bucketType")[0]]
-    kwargs: dict[str, Any] = {"strategy": kind}
-    page = _objects(triples, s, LDES + "pageSize")
-    if page:
-        kwargs["page_size"] = page[0]
-    if kind != "basic":
-        path = _objects(triples, s, TREE + "path")[0]
-        kwargs["property_path"] = _path_str(path)
-        last = path[-1] if isinstance(path, list) else path
-        kwargs["column"] = _local_name(str(last))
-    if kind == "geospatial":
-        kwargs["zoom"] = _objects(triples, s, LDES + "zoomLevel")[0]
-    return JobSpec(**kwargs)
+    return _map_props(triples, s, kind)
 
 
 def create_bucketizer_ld(df, turtle_or_triples, subject: str | None = None):

@@ -48,11 +48,10 @@ def with_global_rank0(
     p = partitions or spark.sparkContext.defaultParallelism
     if single_task_threshold is None:
         single_task_threshold = SINGLE_TASK_THRESHOLD  # runtime-patchable
-    if single_task_threshold and df.count() <= single_task_threshold:
-        w = Window.orderBy(order_col)
-        return df.withColumn(
-            out_col, (F.row_number().over(w) - 1).cast("long")
-        )
+    # Materialize ONCE up front: the gating count needs a full pass over
+    # the (possibly expensive) upstream plan anyway — without the
+    # checkpoint, whichever path is chosen would recompute that plan from
+    # scratch (the whole input computed twice per rank call).
     # localCheckpoint, not persist: (a) the range partitioner SAMPLES its
     # boundaries, so the frame must never be recomputed between the count
     # pass and the rank pass (different boundaries would invalidate the
@@ -60,8 +59,14 @@ def with_global_rank0(
     # (b) persist() registers the plan in the CacheManager, whose lookup
     # against every later query measurably poisons unrelated plan analysis
     # when these frames leak (observed: 45s plans after a dozen queries).
+    mat = df.localCheckpoint()
+    if single_task_threshold and mat.count() <= single_task_threshold:
+        w = Window.orderBy(order_col)
+        return mat.withColumn(
+            out_col, (F.row_number().over(w) - 1).cast("long")
+        )
     parted = (
-        df.repartitionByRange(p, F.col(order_col))
+        mat.repartitionByRange(p, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -70,7 +75,7 @@ def with_global_rank0(
         for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     if not counts:
-        return df.withColumn(out_col, F.lit(0).cast("long"))
+        return mat.withColumn(out_col, F.lit(0).cast("long"))
     acc = 0
     pairs: list = []
     for pid in sorted(counts):

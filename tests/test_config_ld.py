@@ -84,6 +84,35 @@ class TestTurtleParser:
         sizes = [o for (_, p, o) in triples if p.endswith("#pageSize")]
         assert sizes == [50]
 
+    def test_datatyped_literals_coerce(self):
+        # "50"^^xsd:integer is the same RDF value as bare 50 (shape.ttl
+        # declares sh:datatype xsd:integer; the reference's N3+SHACL stack
+        # accepts the typed form) — including with a statement dot and in
+        # a predicate-object list
+        src = _PREFIXES + """
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:s ldes:pageSize "50"^^xsd:integer.
+ex:t ldes:pageSize "7"^^<http://www.w3.org/2001/XMLSchema#integer>;
+     ldes:ratio "0.5"^^xsd:decimal;
+     ldes:flag "true"^^xsd:boolean.
+"""
+        triples = parse_turtle(src)
+        vals = {(s.rsplit("#")[-1], p.rsplit("#")[-1]): o for s, p, o in triples}
+        assert vals[("s", "pageSize")] == 50
+        assert vals[("t", "pageSize")] == 7
+        assert vals[("t", "ratio")] == 0.5
+        assert vals[("t", "flag")] is True
+
+    def test_typed_pagesize_passes_shape_gate(self):
+        src = BASIC.replace("ldes:pageSize 50.", 'ldes:pageSize "50"^^<http://www.w3.org/2001/XMLSchema#integer>.')
+        spec = spec_from_ld(parse_turtle(src))
+        assert spec.page_size == 50
+
+    def test_string_escapes_decode(self):
+        src = _PREFIXES + 'ex:s ldes:label "he said \\"hi\\"\\n\\\\done" .'
+        triples = parse_turtle(src)
+        assert triples[-1][2] == 'he said "hi"\n\\done'
+
     def test_comments_and_unknown_prefix(self):
         triples = parse_turtle(_PREFIXES + "# a comment\nex:a ldes:pageSize 3 .")
         assert triples[-1][2] == 3
@@ -189,6 +218,30 @@ class TestMultiLD:
         assert [c.strategy for c in spec.configs] == ["basic", "subject"]
         assert spec.configs[0].page_size == 30
         assert spec.configs[1].column == "subj"
+
+    def test_untyped_children_accepted(self):
+        # the reference's MultiBucketizerFactory.ldConfig reads child
+        # properties with NO rdf:type check — its own test fixture's child
+        # subjects are untyped (MultiBucketizer.test.ts); mirror that
+        src = MULTI.replace(
+            "ex:BasicStrategy a ldes:BucketizeStrategy;",
+            "ex:BasicStrategy",
+        ).replace(
+            "ex:SubjectStrategy a ldes:BucketizeStrategy;",
+            "ex:SubjectStrategy",
+        )
+        spec = spec_from_ld(
+            parse_turtle(src), "https://example.org/ns#MultiBucketizeStrategy"
+        )
+        assert [c.strategy for c in spec.configs] == ["basic", "subject"]
+
+    def test_child_without_buckettype_rejected(self):
+        src = MULTI.replace("    ldes:bucketType ldes:basic;\n", "")
+        with pytest.raises(ConfigError, match="bucketType"):
+            spec_from_ld(
+                parse_turtle(src),
+                "https://example.org/ns#MultiBucketizeStrategy",
+            )
 
     def test_multi_ld_builds(self, spark):
         from pyspark.sql import functions as F
