@@ -1,0 +1,147 @@
+"""Productized multi-stage streaming composition via staged files.
+
+Spark cannot chain two ``applyInPandasWithState`` operators inside one
+streaming query (multi-stateful-operator support covers only time-window
+ops); the supported pattern — which the reference's inherently-streaming
+composition (MultiBucketizer.ts:46-162) maps onto — is stage k writing
+its output as files that stage k+1 consumes as a file-stream source.
+SURVEY.md §9 documented the pattern; this module packages it as one API
+so the caller no longer hand-wires writers, schemas, and checkpoints:
+
+- **Deterministic staged files**: each micro-batch lands as
+  ``batch-{id:09d}.parquet`` via write-to-temp + atomic rename. A batch
+  replayed after a checkpoint resume finds its file already present and
+  skips — the staged stream is exactly-once without a transactional sink
+  (the local ``os.replace`` is the sandbox analog of an object-store
+  committer; sinks/idempotent.py holds the production MERGE notes).
+- **Arrival order**: stage k+1 reads with ``maxFilesPerTrigger`` and
+  ``latestFirst=false``; batch-id file names are mod-time monotonic, so
+  downstream keyed state sees rows in the same order batch mode sorts
+  them (seq within batch, batches in order).
+- **Resume safety**: every stage checkpoints under
+  ``workdir/stage{k}/ckpt``. Rebuilding the same composition over the
+  same workdir resumes each stage from its offsets; the kill/resume
+  pytest (tests/test_streaming.py::TestComposeStreams) pins
+  streaming == batch across a mid-stream kill.
+
+Scale notes: stages are independent continuously-running queries —
+pipeline parallelism across stages, keyed-state parallelism within one.
+The per-batch ``coalesce(1)`` bounds file count, not throughput (a
+micro-batch is trigger-bounded); raise ``files_per_batch`` if a single
+writer task ever bottlenecks a hot stage.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _batch_writer(data_dir: str):
+    def write(bdf, batch_id: int) -> None:
+        final = os.path.join(data_dir, f"batch-{batch_id:09d}.parquet")
+        if os.path.exists(final):
+            return  # checkpoint replay after resume — already staged
+        tmp = os.path.join(data_dir, f"_tmp-{batch_id}")
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = glob.glob(os.path.join(tmp, "part-*"))
+        if parts:
+            os.replace(parts[0], final)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return write
+
+
+class ComposedStreams:
+    """A chain of streaming stages wired through staged files.
+
+    ``stages[k]`` is a transform ``streaming DataFrame -> streaming
+    DataFrame`` (e.g. ``subject_page_stream`` / ``paged_stream``
+    partials). Stage 0 consumes ``input_stream``; stage k>0 consumes the
+    previous stage's staged files. The last stage's staged files are the
+    composition's output (``read_output``)."""
+
+    def __init__(
+        self,
+        input_stream: DataFrame,
+        stages: Sequence[Callable[[DataFrame], DataFrame]],
+        workdir: str,
+        *,
+        max_files_per_trigger: int = 1,
+    ):
+        if not stages:
+            raise ValueError("at least one stage required")
+        self.spark: SparkSession = input_stream.sparkSession
+        self.workdir = workdir
+        self._queries = []
+        self._plans = []
+        current = input_stream
+        for k, stage in enumerate(stages):
+            out = stage(current)
+            data_dir = os.path.join(workdir, f"stage{k}", "data")
+            ckpt_dir = os.path.join(workdir, f"stage{k}", "ckpt")
+            os.makedirs(data_dir, exist_ok=True)
+            self._plans.append((out, data_dir, ckpt_dir))
+            if k < len(stages) - 1:
+                # schema is known from the (unstarted) streaming frame, so
+                # the next stage's file source opens before any file exists
+                current = (
+                    self.spark.readStream.schema(out.schema)
+                    .option("maxFilesPerTrigger", max_files_per_trigger)
+                    .option("latestFirst", "false")
+                    .parquet(data_dir)
+                )
+        self.output_dir = self._plans[-1][1]
+
+    def start(self) -> "ComposedStreams":
+        for out, data_dir, ckpt_dir in self._plans:
+            q = (
+                out.writeStream.foreachBatch(_batch_writer(data_dir))
+                .option("checkpointLocation", ckpt_dir)
+                .outputMode("append")
+                .start()
+            )
+            self._queries.append(q)
+        return self
+
+    def process_all(self) -> None:
+        """Drain every stage in order (test/batch-drain mode). In
+        continuous operation just ``start()`` and let all stages run."""
+        for q in self._queries:
+            q.processAllAvailable()
+
+    def stop(self) -> None:
+        for q in self._queries:
+            q.stop()
+        self._queries = []
+
+    def run_until_drained(self) -> DataFrame:
+        self.start()
+        self.process_all()
+        self.stop()
+        return self.read_output()
+
+    def read_output(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.output_dir, "*.parquet"))
+
+
+def compose_streams(
+    input_stream: DataFrame,
+    stages: Sequence[Callable[[DataFrame], DataFrame]],
+    workdir: str,
+    *,
+    max_files_per_trigger: int = 1,
+) -> ComposedStreams:
+    """Build (without starting) a staged multi-stage streaming composition;
+    see ComposedStreams. Re-invoking with the same ``workdir`` resumes
+    from each stage's checkpoint."""
+    return ComposedStreams(
+        input_stream,
+        stages,
+        workdir,
+        max_files_per_trigger=max_files_per_trigger,
+    )

@@ -180,6 +180,7 @@ class GeoStreamJob:
 
         self.sink = IdempotentParquetSink(sink_root)
         self.rel_sink = IdempotentParquetSink(os.path.join(sink_root, "_relations"))
+        self.fb_sink = IdempotentParquetSink(os.path.join(sink_root, "_fallback"))
         self.state_dir = state_dir
         self.zoom = zoom
         self.root = root
@@ -249,3 +250,52 @@ class GeoStreamJob:
             .outputMode("append")
             .start()
         )
+
+    def start_with_fallback(
+        self,
+        stream_df: DataFrame,
+        value_col: str,
+        checkpoint_root: str,
+        *,
+        page_size: int = 50,
+    ):
+        """Front door matching the batch pipeline's automatic routing
+        (pipeline.route_with_fallback / _build_geospatial): splits the raw
+        member stream itself, runs the tile pager on matched rows and the
+        bucketless pager (stateful.fallback_stream) on the non-WKT / pole
+        side-output — streaming callers no longer hand-wire the unmatched
+        stream (reference behavior: BucketizerCore.ts:294-309 routes
+        bad-datatype members automatically). Returns the two queries;
+        combined output via read_assignments()."""
+        import os
+
+        from bucketizers_spark.streaming.stateful import fallback_stream
+
+        flagged, unmatched = geospatial_assign_stream(
+            stream_df, value_col, zoom=self.zoom,
+            page_size=page_size, seq_col=self.seq_col,
+        )
+        q_main = self.start(flagged, os.path.join(checkpoint_root, "geo"))
+        fb = fallback_stream(
+            unmatched, page_size=page_size, seq_col=self.seq_col
+        )
+        q_fb = (
+            fb.writeStream.foreachBatch(self.fb_sink.foreach_batch())
+            .option(
+                "checkpointLocation", os.path.join(checkpoint_root, "fallback")
+            )
+            .outputMode("append")
+            .start()
+        )
+        return q_main, q_fb
+
+    def read_assignments(self, spark):
+        """All assignment rows — tile pages plus bucketless fallback pages
+        (the batch route_with_fallback union)."""
+        main = self.sink.read_all(spark)
+        try:
+            fb = self.fb_sink.read_all(spark)
+        except FileNotFoundError:  # no unmatched rows ever arrived
+            return main
+        common = [c for c in main.columns if c in set(fb.columns)]
+        return main.select(common).unionByName(fb.select(common))

@@ -172,6 +172,96 @@ def subject_page_stream(
     )
 
 
+_PAGER_STATE = T.StructType([T.StructField("cnt", T.LongType())])
+
+
+def paged_stream(
+    stream_df: DataFrame,
+    parent_col: str,
+    *,
+    page_size: int = 50,
+    seq_col: str = "seq",
+    out_col: str = "bucket_id",
+) -> DataFrame:
+    """Streaming per-parent arrival-order pager: keyed page-counter state
+    per parent bucket (the multi composition's child-instance-per-parent,
+    MultiBucketizer.ts:94-96, as applyInPandasWithState keyed state).
+    Emits ``out_col = parent/page``; parallelism = number of distinct
+    parents, counters are one long per parent.
+
+    The GLOBAL basic pager deliberately has no streaming-state form: with
+    ``seq`` stamped at the source its page is the stateless map
+    floor(seq/pageSize) (see module docstring) — routing every member
+    through one state key would serialize the stream."""
+    fields = [f for f in stream_df.schema.fields if f.name != out_col]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.StringType())])
+    names = [f.name for f in fields]
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(seq_col).reset_index(drop=True)
+            pages = (cnt + np.arange(len(pdf))) // page_size
+            parent = str(key[0])
+            yield pdf[names].assign(
+                **{out_col: [f"{parent}/{p}" for p in pages]}
+            )
+            cnt += len(pdf)
+        state.update((int(cnt),))
+
+    return stream_df.groupBy(parent_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_PAGER_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fallback_stream(
+    stream_df: DataFrame,
+    *,
+    page_size: int = 50,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Streaming bucketless pager for the no-match side-output
+    (``bucketless-N``, BucketizerCore.ts:294-309 + the dedicated
+    bucketlessPageMemberCounter :383-393). One page counter in keyed
+    state under a single constant key: the fallback stream is the
+    error/no-match slice — small by construction; matched members never
+    pass through it, so the single key is not a throughput bound."""
+    fields = [f for f in stream_df.schema.fields if f.name != "bucket_id"]
+    out_schema = T.StructType(
+        fields + [T.StructField("bucket_id", T.StringType())]
+    )
+    names = [f.name for f in fields]
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(seq_col).reset_index(drop=True)
+            pages = (cnt + np.arange(len(pdf))) // page_size
+            yield pdf[names].assign(
+                bucket_id=[f"bucketless-{p}" for p in pages]
+            )
+            cnt += len(pdf)
+        state.update((int(cnt),))
+
+    return (
+        stream_df.withColumn("_fbk", F.lit(0))
+        .groupBy("_fbk")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=_PAGER_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def rotation_stream(
     first_seen_df: DataFrame,
     *,

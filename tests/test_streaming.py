@@ -126,6 +126,59 @@ class TestTrieStream:
             p.unpersist()
 
 
+class TestComposeStreams:
+    """Productized staged composition (streaming/compose.py): 2-stage
+    subject → per-parent basic pager, mirroring the reference composition
+    shape (MultiBucketizer.test.ts:16-75) — streaming output must equal
+    the batch composition, including across a mid-stream kill/resume."""
+
+    @staticmethod
+    def _batch_want(spark, stream_pdf):
+        from bucketizers_spark.operators.multi import paged_within_parent
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        s1 = subject_page(batch_df, "doc_id", salt="s0").assignments
+        s1 = s1.withColumnRenamed("bucket_id", "_parent")
+        return assignments_map(
+            paged_within_parent(s1, "_parent", page_size=5).assignments
+        )
+
+    @staticmethod
+    def _compose(spark, chunk_dir, workdir):
+        from bucketizers_spark.streaming.compose import compose_streams
+        from bucketizers_spark.streaming.stateful import paged_stream
+
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        return compose_streams(
+            stream,
+            [
+                lambda s: subject_page_stream(s, "doc_id", salt="s0"),
+                lambda s: paged_stream(s, "bucket_id", page_size=5),
+            ],
+            os.path.join(workdir, "compose"),
+        )
+
+    def test_two_stage_matches_batch(self, spark, workdir, stream_pdf):
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=4)
+        out = self._compose(spark, chunk_dir, workdir).run_until_drained()
+        assert assignments_map(out) == self._batch_want(spark, stream_pdf)
+
+    def test_kill_resume_matches_batch(self, spark, workdir, stream_pdf):
+        chunk_dir = os.path.join(workdir, "chunks")
+        first, rest = stream_pdf.iloc[:1200], stream_pdf.iloc[1200:]
+        stage_chunks(first, chunk_dir, n_chunks=3)
+        c1 = self._compose(spark, chunk_dir, workdir)
+        c1.start()
+        c1.process_all()
+        c1.stop()  # "kill" mid-stream
+
+        stage_chunks(rest, chunk_dir, n_chunks=2, start_index=3)
+        c2 = self._compose(spark, chunk_dir, workdir)  # same workdir → resume
+        out = c2.run_until_drained()
+        assert assignments_map(out) == self._batch_want(spark, stream_pdf)
+
+
 class TestSubjectPageStream:
     def test_keyed_state_matches_batch(self, spark, workdir, stream_pdf):
         chunk_dir = os.path.join(workdir, "chunks")
@@ -548,6 +601,62 @@ class TestGeospatialStream:
         # exactly one root relation per column across all batches
         roots = [r for r in got_rels if r[0] == "root"]
         assert len(roots) == len({r[2] for r in roots})
+
+    def test_fallback_autoroute_matches_batch(self, spark, workdir):
+        """start_with_fallback must route non-WKT rows into bucketless-N
+        pages automatically (streaming == batch route_with_fallback;
+        reference auto-fallback: BucketizerCore.ts:294-309,
+        GeospatialBucketizer.test.ts:140-158)."""
+        import pandas as pd
+
+        from bucketizers_spark.operators.basic import fallback_pager
+        from bucketizers_spark.operators.geospatial import geospatial_tiles
+        from bucketizers_spark.streaming.geo_stream import GeoStreamJob
+
+        import random
+
+        rng = random.Random(29)
+        rows = []
+        for i in range(300):
+            if i % 5 == 2:
+                rows.append((i, rng.choice(["not-a-geom", "", "POINT ()"])))
+            else:
+                lon = rng.choice([-170, -50, 3, 44])
+                rows.append((i, f"POINT ({lon} {rng.choice([-40, 10, 52])})"))
+        pdf = pd.DataFrame(rows, columns=["seq", "value"])
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(pdf, chunk_dir, n_chunks=3)
+
+        stream = (
+            spark.readStream.schema("seq long, value string")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(chunk_dir)
+        )
+        job = GeoStreamJob(
+            os.path.join(workdir, "sink"), os.path.join(workdir, "state"), zoom=4
+        )
+        q_main, q_fb = job.start_with_fallback(
+            stream, "value", os.path.join(workdir, "ckpt"), page_size=7
+        )
+        q_main.processAllAvailable()
+        q_fb.processAllAvailable()
+        q_main.stop()
+        q_fb.stop()
+
+        got = {
+            (r.seq, r.bucket_id)
+            for r in job.read_assignments(spark).select("seq", "bucket_id").collect()
+        }
+        batch_df = spark.createDataFrame(pdf, "seq long, value string")
+        res = geospatial_tiles(batch_df, "value", zoom=4, page_size=7)
+        fb = fallback_pager(res.unmatched, page_size=7)
+        want = {
+            (r.seq, r.bucket_id) for r in res.assignments.collect()
+        } | {(r.seq, r.bucket_id) for r in fb.assignments.collect()}
+        assert got == want
+        # the unmatched slice really landed in bucketless pages
+        assert any(b.startswith("bucketless-") for _, b in got)
 
     def test_replay_is_idempotent(self, spark, workdir):
         import pandas as pd
