@@ -483,6 +483,99 @@ FROM tiles
 SQL_GEO_TILE = _sql_geo_tile()
 
 
+def q_multi_geo_pager(spark, sf_dir):
+    """S5 with a GEOSPATIAL child (operators/multi.geo_within_parent):
+    parent = a derived 3-value stage-1 bucket, child = a dedicated slippy
+    tile pager per parent — page counters key on (parent, tile), bucket =
+    parent/z/x/y-page, and non-WKT members land in the child's own
+    bucketless pager parent/bucketless-N (the reference factory composes
+    any registered type, BucketizerFactories.ts:15-72; auto-fallback
+    BucketizerCore.ts:294-309). WKT built in-query from the events table
+    so the full parse → tile → page path runs with a SQL-expressible
+    oracle; every 7th event is a non-geometry to exercise the fallback."""
+    from bucketizers_spark.operators.multi import geo_within_parent
+
+    ev = _t(spark, sf_dir, "events")
+    lon = (F.col("value") * 7919).cast("long") % 360 - 180
+    lat = (F.col("value") * 104729).cast("long") % 170 - 85
+    wkt = F.when(
+        F.col("event_id") % 7 == 3, F.lit("not-a-geom")
+    ).otherwise(
+        F.concat(F.lit("POINT ("), lon, F.lit(" "), lat, F.lit(")"))
+    )
+    parent = F.concat(
+        F.lit("t"), F.pmod(F.col("user_id"), F.lit(3)).cast("string")
+    )
+    df = ev.select(
+        "event_id", parent.alias("tparent"), wkt.alias("geom")
+    )
+    out = geo_within_parent(
+        df, "tparent", "geom", zoom=_GEO_Z, page_size=15, seq_col="event_id"
+    )
+    return out.assignments.select("event_id", "bucket_id")
+
+
+def _sql_multi_geo_pager() -> str:
+    cases = " ".join(f"WHEN {lat} THEN {y}" for lat, y in _YTAB.items())
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         't' || CAST(user_id % 3 AS VARCHAR) AS tparent,
+         CAST(trunc(value * 7919) AS BIGINT) % 360 - 180 AS lon,
+         CAST(trunc(value * 104729) AS BIGINT) % 170 - 85 AS lat,
+         (event_id % 7 = 3) AS bad
+  FROM events
+),
+tiles AS (
+  SELECT event_id, tparent,
+         ((lon + 180) * 16) // 360 AS x,
+         CASE lat {cases} END AS y
+  FROM pts WHERE NOT bad
+),
+matched AS (
+  SELECT event_id,
+         tparent || '/{_GEO_Z}/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) || '-' ||
+         CAST(CAST(floor((row_number() OVER (PARTITION BY tparent, x, y ORDER BY event_id) - 1) / 15) AS BIGINT) AS VARCHAR) AS bucket_id
+  FROM tiles
+),
+fb AS (
+  SELECT event_id,
+         tparent || '/bucketless-' ||
+         CAST(CAST(floor((row_number() OVER (PARTITION BY tparent ORDER BY event_id) - 1) / 15) AS BIGINT) AS VARCHAR) AS bucket_id
+  FROM pts WHERE bad
+)
+SELECT * FROM matched UNION ALL SELECT * FROM fb
+"""
+
+
+SQL_MULTI_GEO_PAGER = _sql_multi_geo_pager()
+
+
+def q_multi_time_window(spark, sf_dir):
+    """S5 with a TIME child (operators/multi.time_within_parent — engine
+    extension composing the north_rule's tumbling windows under a parent
+    stage): bucket = parent/window-start, a stateless narrow map (the
+    window is a pure function of the timestamp; no shuffle for
+    assignments)."""
+    from bucketizers_spark.operators.multi import time_within_parent
+
+    ev = _t(spark, sf_dir, "events")
+    parent = F.concat(
+        F.lit("e"), F.pmod(F.col("user_id"), F.lit(4)).cast("string")
+    )
+    df = ev.select("event_id", parent.alias("wparent"), "ts")
+    out = time_within_parent(df, "wparent", "ts", duration="1 hour")
+    return out.assignments.select("event_id", "bucket_id")
+
+
+SQL_MULTI_TIME_WINDOW = f"""
+SELECT event_id,
+       'e' || CAST(user_id % 4 AS VARCHAR) || '/' ||
+       strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS bucket_id
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup: exact, minhash-LSH, simhash, n-gram jaccard (documents)
 # --------------------------------------------------------------------------
@@ -1328,6 +1421,8 @@ QUERIES = {
     "multi_subject_basic": q_multi_subject_basic,
     "multi_subject_rotation": q_multi_subject_rotation,
     "geo_tile": q_geo_tile,
+    "multi_geo_pager": q_multi_geo_pager,
+    "multi_time_window": q_multi_time_window,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -1360,6 +1455,8 @@ ORACLES = {
     "multi_subject_basic": SQL_MULTI_SUBJECT_BASIC,
     "multi_subject_rotation": SQL_MULTI_SUBJECT_ROTATION,
     "geo_tile": SQL_GEO_TILE,
+    "multi_geo_pager": SQL_MULTI_GEO_PAGER,
+    "multi_time_window": SQL_MULTI_TIME_WINDOW,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from bucketizers_spark.operators.core import (
     BucketizeResult,
+    empty_relations,
     empty_seals,
     relation_row,
 )
@@ -338,6 +339,221 @@ def trie_within_parent(
         )
     )
     return BucketizeResult(assignments, relations, empty_seals(spark))
+
+
+def geo_within_parent(
+    df: DataFrame,
+    parent_col: str,
+    value_col: str,
+    *,
+    zoom: int = 4,
+    page_size: int = 50,
+    seq_col: str = "seq",
+    out_col: str = "bucket_id",
+) -> BucketizeResult:
+    """Per-parent geospatial child: a dedicated tilesMap instance per
+    parent bucket (MultiBucketizer.ts:94-96 composing the geospatial
+    factory, BucketizerFactories.ts:15-72). Tile page counters key on
+    (parent, leaf); bucket = ``parent/z/x/y-page``; the root → column
+    relation originates FROM the parent bucket (child root collapse,
+    mapTerm ts:123-141); non-WKT / pole members land in the child's own
+    bucketless pager ``parent/bucketless-N`` (BucketizerCore.ts:294-309).
+
+    Scale: identical plan shape to the standalone operator with the
+    parent added to every partition key — one shuffle for the per-
+    (parent, leaf) paging window, relation derivation over the distinct
+    (parent, tile) frame."""
+    from bucketizers_spark.operators.geospatial import (
+        tile_array_col,
+        tile_bbox_wkt,
+    )
+
+    spark = df.sparkSession
+    payload_cols = df.columns
+    work = df.withColumn("_tiles", tile_array_col(value_col, zoom))
+    bad = F.exists(F.col("_tiles"), lambda t: t["y"].isNull())
+    is_matched = (F.size("_tiles") > 0) & ~bad
+    unmatched = work.where(~is_matched).drop("_tiles")
+    matched = work.where(is_matched)
+
+    exploded = matched.select(
+        *payload_cols, F.posexplode("_tiles").alias("_tpos", "_t")
+    ).withColumn(
+        "_leaf",
+        F.concat_ws("/", F.lit(str(zoom)), F.col("_t.x"), F.col("_t.y")),
+    )
+    w = Window.partitionBy(parent_col, "_leaf").orderBy(
+        F.col(seq_col), F.col("_tpos")
+    )
+    paged = exploded.withColumn(
+        "_page", F.floor((F.row_number().over(w) - 1) / F.lit(page_size))
+    )
+    leaf_bucket = F.concat(
+        F.col(parent_col), F.lit("/"), F.col("_leaf"), F.lit("-"), F.col("_page")
+    )
+    matched_assign = paged.withColumn(out_col, leaf_bucket).select(
+        *payload_cols, out_col
+    )
+
+    wfb = Window.partitionBy(parent_col).orderBy(seq_col)
+    fb_paged = unmatched.withColumn(
+        "_page", F.floor((F.row_number().over(wfb) - 1) / F.lit(page_size))
+    )
+    fb_bucket = F.concat(
+        F.col(parent_col), F.lit("/bucketless-"), F.col("_page")
+    )
+    fb_assign = fb_paged.withColumn(out_col, fb_bucket).select(
+        *payload_cols, out_col
+    )
+    assignments = matched_assign.unionByName(fb_assign)
+
+    def _relations() -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        z = zoom
+
+        @pandas_udf("string")
+        def bbox_of(leaf: pd.Series) -> pd.Series:
+            def one(s: str) -> str:
+                _, xs, ys = s.split("/")
+                return tile_bbox_wkt(int(xs), int(ys), z)
+
+            return leaf.map(one)
+
+        bbox_dim = (
+            exploded.select("_leaf")
+            .distinct()
+            .withColumn("bbox", bbox_of(F.col("_leaf")))
+            .withColumnRenamed("_leaf", "leaf")
+        )
+        page_firsts = (
+            paged.groupBy(parent_col, "_leaf", "_page")
+            .agg(F.min(seq_col).alias("created_at_seq"))
+            .join(F.broadcast(bbox_dim), F.col("_leaf") == F.col("leaf"))
+            .withColumn(
+                "_column",
+                F.concat(
+                    F.col(parent_col),
+                    F.lit("/"),
+                    F.regexp_replace(F.col("_leaf"), r"/[^/]+$", ""),
+                ),
+            )
+        )
+        column_rels = page_firsts.select(
+            *relation_row(
+                F.col("_column"),
+                "GeospatiallyContains",
+                F.concat(
+                    F.col(parent_col), F.lit("/"), F.col("_leaf"),
+                    F.lit("-"), F.col("_page"),
+                ),
+                values=F.array(F.col("bbox")),
+                seq=F.col("created_at_seq"),
+            )
+        )
+        # root → column once per (parent, column), FROM the parent (root
+        # collapse), carrying the column's first tile's bbox
+        root_rels = (
+            page_firsts.groupBy(parent_col, "_column")
+            .agg(
+                F.min("created_at_seq").alias("created_at_seq"),
+                F.min_by("bbox", F.col("created_at_seq")).alias("bbox"),
+            )
+            .select(
+                *relation_row(
+                    F.col(parent_col),
+                    "GeospatiallyContains",
+                    F.col("_column"),
+                    values=F.array(F.col("bbox")),
+                    seq=F.col("created_at_seq"),
+                )
+            )
+        )
+        # per-parent bucketless pages: Relation FROM the parent, every
+        # page incl. 0 (fallback_pager semantics, BucketizerCore.ts:383-393)
+        fb_rels = (
+            fb_paged.groupBy(parent_col, "_page")
+            .agg(F.min(seq_col).alias("created_at_seq"))
+            .select(
+                *relation_row(
+                    F.col(parent_col),
+                    "Relation",
+                    F.concat(
+                        F.col(parent_col), F.lit("/bucketless-"), F.col("_page")
+                    ),
+                    seq=F.col("created_at_seq"),
+                )
+            )
+        )
+        return column_rels.unionByName(root_rels).unionByName(fb_rels)
+
+    return BucketizeResult(assignments, _relations, empty_seals(spark))
+
+
+def time_within_parent(
+    df: DataFrame,
+    parent_col: str,
+    time_col: str,
+    *,
+    duration: str = "1 hour",
+    slide: str | None = None,
+    out_col: str = "bucket_id",
+) -> BucketizeResult:
+    """Per-parent time-window child (engine extension — the reference has
+    no time bucketizer; this composes the north_rule's tumbling/sliding
+    windows under a parent stage). Assignment is a stateless narrow map:
+    ``parent/window-start`` (no shuffle, no per-parent state — the window
+    is a pure function of the timestamp). Tumbling emits the boundary
+    Relation chain between consecutive non-empty windows PER PARENT and
+    seals per (parent, window); sliding emits assignments only (a member
+    spans multiple windows; explode keeps the map narrow)."""
+    spark = df.sparkSession
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    if slide is not None:
+        win = F.window(F.col(time_col), duration, slide)
+    else:
+        win = F.window(F.col(time_col), duration)
+    assigned = df.withColumn("_w", win).withColumn(
+        out_col,
+        F.concat(
+            F.col(parent_col), F.lit("/"), F.date_format(F.col("_w")["start"], fmt)
+        ),
+    )
+    assignments = assigned.drop("_w")
+    if slide is not None:
+        return BucketizeResult(
+            assignments, empty_relations(spark), empty_seals(spark)
+        )
+
+    def _wins() -> DataFrame:
+        return assigned.groupBy(parent_col, F.col("_w")["start"].alias("_ws")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def _relations() -> DataFrame:
+        nxt = F.lead("_ws").over(Window.partitionBy(parent_col).orderBy("_ws"))
+        rel_src = _wins().withColumn("_next", nxt).where(F.col("_next").isNotNull())
+        return rel_src.select(
+            *relation_row(
+                F.concat(
+                    F.col(parent_col), F.lit("/"), F.date_format("_ws", fmt)
+                ),
+                "Relation",
+                F.concat(
+                    F.col(parent_col), F.lit("/"), F.date_format("_next", fmt)
+                ),
+            )
+        )
+
+    def _seals() -> DataFrame:
+        return _wins().select(
+            F.concat(
+                F.col(parent_col), F.lit("/"), F.date_format("_ws", fmt)
+            ).alias("bucket_id"),
+            F.lit(None).cast("long").alias("sealed_at_seq"),
+        )
+
+    return BucketizeResult(assignments, _relations, _seals)
 
 
 def compose(

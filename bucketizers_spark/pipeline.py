@@ -118,12 +118,18 @@ def _build_geospatial(df: DataFrame, spec: JobSpec) -> BucketizeResult:
 def _build_multi(df: DataFrame, spec: JobSpec) -> BucketizeResult:
     """Chained stages, one child instance per parent bucket
     (MultiBucketizer.ts:46-162): every child strategy the reference
-    composes is supported — basic (per-parent pager), subject (per-parent
-    first-seen + rotation), substring (per-parent trie walk, char or
-    token mode). Child bucket ids are parent-prefixed; child roots
-    collapse onto the parent bucket."""
+    factory composes is supported (BucketizerFactories.ts:15-72) — basic
+    (per-parent pager), subject (per-parent first-seen + rotation),
+    substring (per-parent trie, walk or distributed cascade), geospatial
+    (per-parent tile pager incl. its own bucketless fallback) — plus the
+    engine's time-window extension (tumbling/sliding children; session is
+    an aggregate shape that doesn't compose as member assignments). Child
+    bucket ids are parent-prefixed; child roots collapse onto the parent
+    bucket."""
     from bucketizers_spark.operators.multi import (
+        geo_within_parent,
         subject_within_parent,
+        time_within_parent,
         trie_within_parent,
     )
 
@@ -151,10 +157,33 @@ def _build_multi(df: DataFrame, spec: JobSpec) -> BucketizeResult:
                 page_size=sub.page_size,
                 max_depth=sub.max_depth,
             )
+        elif sub.strategy == "geospatial":
+            nxt = geo_within_parent(
+                staged,
+                f"_p{k}",
+                sub.column,
+                zoom=sub.zoom,
+                page_size=sub.page_size,
+            )
+        elif sub.strategy == "time":
+            win = sub.window
+            if win.kind == "session":
+                raise NotImplementedError(
+                    "session-window children aggregate members into "
+                    "per-(key, session) rows — not a per-member bucket "
+                    "assignment, so it cannot chain under multi; use "
+                    "tumbling or sliding"
+                )
+            nxt = time_within_parent(
+                staged,
+                f"_p{k}",
+                sub.column or "event_time",
+                duration=win.duration,
+                slide=win.slide if win.kind == "sliding" else None,
+            )
         else:
             raise NotImplementedError(
-                f"multi child strategy {sub.strategy!r} (the reference "
-                "composes basic/subject/substring children)"
+                f"multi child strategy {sub.strategy!r}"
             )
         # capture the result OBJECTS, not their .relations/.seals — the
         # property access would force the lazy factories at build time

@@ -219,3 +219,139 @@ class TestFactoryMulti:
         assert len(rows) == 120
         prefixes = {r.bucket_id.split("/", 1)[0] for r in rows if r.bucket_id}
         assert prefixes == {"0", "1"}
+
+
+@pytest.fixture(scope="module")
+def geo_parented(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(150):
+        if i % 6 == 1:
+            wkt = "not-a-geom"
+        else:
+            lon = rng.choice([-170, -50, 3, 44])
+            lat = rng.choice([-40, 10, 52])
+            wkt = f"POINT ({lon} {lat})"
+        rows.append((i, f"G{i % 2}", wkt, f"2024-01-01 {i % 24:02d}:30:00"))
+    df = spark.createDataFrame(
+        rows, "seq long, parent string, geom string, ts_s string"
+    )
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+class TestGeoWithinParent:
+    def test_matches_per_parent_base_operator(self, spark, geo_parented):
+        from bucketizers_spark.operators.basic import fallback_pager
+        from bucketizers_spark.operators.geospatial import geospatial_tiles
+        from bucketizers_spark.operators.multi import geo_within_parent
+
+        res = geo_within_parent(
+            geo_parented, "parent", "geom", zoom=4, page_size=5
+        )
+        got_assign = {(r.seq, r.bucket_id) for r in res.assignments.collect()}
+        got_rels = {
+            (r.from_bucket, r.relation_type, r.to_bucket, r.created_at_seq)
+            for r in res.relations.collect()
+        }
+
+        from pyspark.sql import functions as F
+
+        want_assign, want_rels = set(), set()
+        for parent in ["G0", "G1"]:
+            sub = geo_parented.where(F.col("parent") == parent)
+            base = geospatial_tiles(sub, "geom", zoom=4, page_size=5)
+            fb = fallback_pager(base.unmatched, page_size=5)
+            for r in base.assignments.collect():
+                want_assign.add((r.seq, f"{parent}/{r.bucket_id}"))
+            for r in fb.assignments.collect():
+                want_assign.add((r.seq, f"{parent}/{r.bucket_id}"))
+            for r in base.relations.collect():
+                want_rels.add(
+                    (
+                        _map_root(parent, r.from_bucket),
+                        r.relation_type,
+                        f"{parent}/{r.to_bucket}",
+                        r.created_at_seq,
+                    )
+                )
+            for r in fb.relations.collect():
+                want_rels.add(
+                    (
+                        _map_root(parent, r.from_bucket),
+                        r.relation_type,
+                        f"{parent}/{r.to_bucket}",
+                        r.created_at_seq,
+                    )
+                )
+        assert got_assign == want_assign
+        assert got_rels == want_rels
+
+    def test_factory_subject_then_geo(self, spark, geo_parented):
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "basic", "page_size": 80},
+                {
+                    "strategy": "geospatial",
+                    "column": "geom",
+                    "zoom": 4,
+                    "page_size": 5,
+                },
+            ],
+        }
+        res = build(geo_parented, spec)
+        rows = res.assignments.collect()
+        assert len(rows) == 150
+        pages = {r.bucket_id.split("/", 1)[0] for r in rows}
+        assert pages == {"0", "1"}
+        assert any("/bucketless-" in r.bucket_id for r in rows)
+
+
+class TestTimeWithinParent:
+    def test_matches_per_parent_base_operator(self, spark, geo_parented):
+        from bucketizers_spark.operators.multi import time_within_parent
+        from bucketizers_spark.operators.time_window import tumbling_bucketizer
+
+        res = time_within_parent(geo_parented, "parent", "ts", duration="1 hour")
+        got_assign = {(r.seq, r.bucket_id) for r in res.assignments.collect()}
+        got_rels = {
+            (r.from_bucket, r.to_bucket) for r in res.relations.collect()
+        }
+        got_seals = {r.bucket_id for r in res.seals.collect()}
+
+        from pyspark.sql import functions as F
+
+        want_assign, want_rels, want_seals = set(), set(), set()
+        for parent in ["G0", "G1"]:
+            sub = geo_parented.where(F.col("parent") == parent)
+            base = tumbling_bucketizer(sub, "ts", "1 hour")
+            for r in base.assignments.collect():
+                want_assign.add((r.seq, f"{parent}/{r.bucket_id}"))
+            for r in base.relations.collect():
+                want_rels.add(
+                    (f"{parent}/{r.from_bucket}", f"{parent}/{r.to_bucket}")
+                )
+            for r in base.seals.collect():
+                want_seals.add(f"{parent}/{r.bucket_id}")
+        assert got_assign == want_assign
+        assert got_rels == want_rels
+        assert got_seals == want_seals
+
+    def test_factory_session_child_rejected(self, spark, geo_parented):
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "basic", "page_size": 80},
+                {
+                    "strategy": "time",
+                    "column": "ts",
+                    "window": {"kind": "session", "gap": "30 minutes"},
+                },
+            ],
+        }
+        with pytest.raises(NotImplementedError, match="session"):
+            build(geo_parented, spec).assignments.count()
