@@ -892,23 +892,23 @@ SELECT query_id, vec_id, sim_r4, rk FROM (
 # the band count trades recall for join fan-in.
 _EMB_DIM = 64
 _LSH_BITS = 16
-_LSH_BANDS = 4
+# 16 bands (was 4 in r2): recall in the near-dup regime the sweep
+# (tools/lsh_recall_sweep.py, BENCH/PLANS.md) measures as 0.93 @ cos
+# 0.90-0.95 and 1.00 @ cos>=0.95 vs 0.40/0.85 at 4 bands; cost is linear
+# in bands (n·bands hash+join rows) while bucket size — the quadratic
+# term — stays bounded by the 16-bit key (65k buckets/band)
+_LSH_BANDS = 16
 
 
-def _lsh_hyperplanes() -> list[list[list[float]]]:
-    import random
+# the pinned 16×4 driver form delegates to the configurable operator
+# (operators/lsh.py — same seeded ±1 planes, same loop order, so the
+# oracle weight literals and driver hashes are unchanged)
+from bucketizers_spark.operators.lsh import (  # noqa: E402
+    hyperplanes as _lsh_planes,
+    sign_lsh_udf as _sign_lsh_udf,
+)
 
-    rng = random.Random(20260816)
-    return [
-        [
-            [rng.choice((-1.0, 1.0)) for _ in range(_EMB_DIM)]
-            for _ in range(_LSH_BITS)
-        ]
-        for _ in range(_LSH_BANDS)
-    ]
-
-
-_HYPER = _lsh_hyperplanes()
+_HYPER = _lsh_planes(_EMB_DIM, _LSH_BITS, _LSH_BANDS)
 
 
 _LSH_UDF_CACHE: list = []
@@ -920,29 +920,9 @@ def _lsh_buckets_udf():
     embedding-heavy ops (64 separate JVM fold expressions plan and run an
     order of magnitude slower). Returns array<string>: one 16-bit bucket
     per band. Created lazily (pandas_udf needs an active session)."""
-    if _LSH_UDF_CACHE:
-        return _LSH_UDF_CACHE[0]
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    H = np.array([h for band in _HYPER for h in band], dtype=np.float64)
-
-    @pandas_udf("array<string>")
-    def f(s: pd.Series) -> pd.Series:
-        M = np.vstack(s.to_numpy()).astype(np.float64)
-        bits = np.where((M @ H.T) >= 0, "1", "0")
-        return pd.Series(
-            [
-                [
-                    "".join(r[b * _LSH_BITS : (b + 1) * _LSH_BITS])
-                    for b in range(_LSH_BANDS)
-                ]
-                for r in bits
-            ]
-        )
-
-    _LSH_UDF_CACHE.append(f)
-    return f
+    if not _LSH_UDF_CACHE:
+        _LSH_UDF_CACHE.append(_sign_lsh_udf(_EMB_DIM, _LSH_BITS, _LSH_BANDS))
+    return _LSH_UDF_CACHE[0]
 
 
 def _sql_lsh_weights() -> str:
@@ -978,6 +958,98 @@ SELECT vec_id, band,
        string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
                   ORDER BY bit) AS bucket
 FROM dots GROUP BY vec_id, band
+"""
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Recall of the 16-bit × 4-band sign-LSH candidate set against exact
+    brute-force ground truth (VERDICT r2 #6: the emb_near_dup oracle
+    implements the same LSH, so that check is self-consistent — this one
+    SCORES the LSH). Deterministic 1-in-40 query sample (vec_id % 40 == 0);
+    truth = each query's top-10 cosine neighbors (4-dp rounded, vec_id
+    tie-break — the rounding the other embedding queries already pin as
+    cross-engine-stable); a truth pair counts as hit when the two vectors
+    share any band bucket. One aggregate row: n_queries / truth_pairs /
+    hits / recall.
+
+    Scale shape: the query sample broadcasts (no big-side shuffle for the
+    truth scan); the hit check is a band+bucket equijoin on the bucket
+    frame — never all-pairs. Measured recall + parameter justification:
+    BENCH/PLANS.md."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(qs)).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_c").desc(), F.col("vec_id")
+    )
+    truth = (
+        pairs.withColumn("_c", F.round(_cosine(F.col("qe"), F.col("embedding")), 4))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    bk = q_ann_lsh(spark, sf_dir).localCheckpoint()
+    qbk = bk.select(
+        F.col("vec_id").alias("q_id"), "band", F.col("bucket").alias("qb")
+    )
+    nbk = bk.select("vec_id", "band", F.col("bucket").alias("nb"))
+    hit_pairs = (
+        truth.join(qbk, "q_id")
+        .join(nbk, ["vec_id", "band"])
+        .where(F.col("qb") == F.col("nb"))
+        .select("q_id", "vec_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    scored = truth.join(hit_pairs, ["q_id", "vec_id"], "left")
+    hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return scored.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("truth_pairs"),
+        hits.cast("long").alias("hits"),
+        F.round(hits.cast("double") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
+SQL_ANN_LSH_RECALL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 40 = 0
+),
+p AS (
+  SELECT q.q_id, e.vec_id,
+    round(
+      list_sum(list_transform(range(1, len(qe) + 1),
+               i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      4) AS c
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+),
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+    FROM p
+  ) WHERE rn <= 10
+),
+bk AS ({SQL_ANN_LSH}),
+hits AS (
+  SELECT DISTINCT t.q_id, t.vec_id
+  FROM truth t
+  JOIN bk a ON a.vec_id = t.q_id
+  JOIN bk b ON b.vec_id = t.vec_id AND b.band = a.band AND b.bucket = a.bucket
+)
+SELECT CAST(COUNT(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+       COUNT(*) AS truth_pairs,
+       CAST(SUM(CASE WHEN h.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       round(CAST(SUM(CASE WHEN h.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS recall
+FROM truth t
+LEFT JOIN hits h ON h.q_id = t.q_id AND h.vec_id = t.vec_id
 """
 
 
@@ -1429,6 +1501,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_recall": q_ann_lsh_recall,
     "emb_near_dup": q_emb_near_dup,
     "text_quality": q_text_quality,
     "lang_guess": q_lang_guess,
@@ -1463,6 +1536,7 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_topk": SQL_ANN_TOPK,
     "ann_lsh": SQL_ANN_LSH,
+    "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "emb_near_dup": SQL_EMB_NEAR_DUP,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_guess": SQL_LANG_GUESS,
