@@ -21,22 +21,55 @@ clusters (write_mode="merge", unimplementable here without jars).
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 
 from pyspark.sql import DataFrame
 
 
+class LocalFsLister:
+    """Filesystem listing/IO seam for the sink. The local implementation
+    is the sandbox default; an object-store deployment swaps in a lister
+    backed by its SDK (S3 ListObjectsV2 with the manifest prefix, GCS
+    list_blobs, …) — listing semantics the sink relies on are only
+    'enumerate children of a prefix' and 'atomic single-object publish',
+    both of which object stores provide natively (PUT is atomic; the
+    local os.replace emulates it). The production MERGE path notes at the
+    top of this module still apply unchanged."""
+
+    def list_names(self, directory: str) -> list[str]:
+        try:
+            return os.listdir(directory)
+        except FileNotFoundError:
+            return []
+
+    def glob(self, pattern: str) -> list[str]:
+        return _glob.glob(pattern)
+
+    def publish_json(self, path: str, payload: dict) -> None:
+        tmp = os.path.join(
+            os.path.dirname(path), "." + os.path.basename(path) + ".tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, path)
+
+    def ensure_dir(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+
+
 class IdempotentParquetSink:
-    def __init__(self, root: str):
+    def __init__(self, root: str, lister: LocalFsLister | None = None):
         self.root = root
         self.manifest_dir = os.path.join(root, "_manifest")
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.lister = lister or LocalFsLister()
+        self.lister.ensure_dir(self.manifest_dir)
 
     def committed_batches(self) -> set[int]:
         return {
             int(f[: -len(".json")])
-            for f in os.listdir(self.manifest_dir)
+            for f in self.lister.list_names(self.manifest_dir)
             if f.endswith(".json")
         }
 
@@ -46,10 +79,9 @@ class IdempotentParquetSink:
         path = os.path.join(self.root, f"batch_id={batch_id}")
         df.write.mode("overwrite").parquet(path)
         meta = {"batch_id": batch_id, **(lineage or {})}
-        tmp = os.path.join(self.manifest_dir, f".{batch_id}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, os.path.join(self.manifest_dir, f"{batch_id}.json"))
+        self.lister.publish_json(
+            os.path.join(self.manifest_dir, f"{batch_id}.json"), meta
+        )
 
     def foreach_batch(self, transform=None):
         """Build a foreachBatch(fn) that applies ``transform`` (DataFrame →
@@ -71,9 +103,7 @@ class IdempotentParquetSink:
         return fn
 
     def read_all(self, spark, committed_only: bool = True) -> DataFrame:
-        import glob
-
-        dirs = sorted(glob.glob(os.path.join(self.root, "batch_id=*")))
+        dirs = sorted(self.lister.glob(os.path.join(self.root, "batch_id=*")))
         if committed_only:
             ok = self.committed_batches()
             dirs = [d for d in dirs if int(d.rsplit("=", 1)[1]) in ok]

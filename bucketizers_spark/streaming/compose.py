@@ -129,6 +129,91 @@ class ComposedStreams:
         return self.spark.read.parquet(os.path.join(self.output_dir, "*.parquet"))
 
 
+def stages_from_spec(spec) -> list:
+    """Map a validated multi JobSpec onto compose_streams stage
+    transforms, where per-stage streaming forms exist:
+
+    - stage 0 ``subject``: stateless bucket + keyed first-seen state
+      (stateful.subject_page_stream)
+    - stage 0 ``time`` (tumbling/sliding): stateless window bucket map
+    - child ``basic``: per-parent page-counter state
+      (stateful.paged_stream)
+    - child ``time``: stateless ``parent/window-start`` map
+
+    ``substring`` and ``geospatial`` streaming forms are foreachBatch
+    jobs with cross-key/versioned state (TrieStreamJob, GeoStreamJob) —
+    they don't fit the stream→stream transform shape, so composing them
+    means staging their sinks manually; this raises with that pointer."""
+    from pyspark.sql import functions as F
+
+    from bucketizers_spark.config import JobSpec, spec_from_dict
+    from bucketizers_spark.streaming.stateful import (
+        paged_stream,
+        subject_page_stream,
+    )
+
+    if isinstance(spec, dict):
+        spec = spec_from_dict(spec)
+    if spec.strategy != "multi":
+        raise ValueError("stages_from_spec takes a multi spec")
+
+    def time_bucket(s, sub: JobSpec, parent: str | None):
+        win = sub.window
+        col = sub.column or "event_time"
+        w = (
+            F.window(F.col(col), win.duration, win.slide)
+            if win.kind == "sliding"
+            else F.window(F.col(col), win.duration)
+        )
+        b = F.date_format(w["start"], "yyyy-MM-dd HH:mm:ss")
+        if parent:
+            b = F.concat(F.col(parent), F.lit("/"), b)
+            return (
+                s.withColumnRenamed("bucket_id", parent)
+                .withColumn("bucket_id", b)
+                .drop(parent)
+            )
+        return s.withColumn("bucket_id", b)
+
+    stages = []
+    for k, sub in enumerate(spec.configs):
+        if k == 0:
+            if sub.strategy == "subject":
+                stages.append(
+                    lambda s, c=sub: subject_page_stream(
+                        s, c.column, salt=c.salt
+                    )
+                )
+            elif sub.strategy == "time" and sub.window.kind in (
+                "tumbling", "sliding",
+            ):
+                stages.append(lambda s, c=sub: time_bucket(s, c, None))
+            else:
+                raise NotImplementedError(
+                    f"streaming stage-1 form for {sub.strategy!r}: compose "
+                    "TrieStreamJob/GeoStreamJob sinks manually (their "
+                    "state is cross-key/versioned, not per-stage keyed)"
+                )
+        else:
+            if sub.strategy == "basic":
+                stages.append(
+                    lambda s, c=sub: paged_stream(
+                        s, "bucket_id", page_size=c.page_size
+                    )
+                )
+            elif sub.strategy == "time" and sub.window.kind in (
+                "tumbling", "sliding",
+            ):
+                stages.append(lambda s, c=sub: time_bucket(s, c, "_parent"))
+            else:
+                raise NotImplementedError(
+                    f"streaming child form for {sub.strategy!r} (batch "
+                    "multi supports it; streaming children currently: "
+                    "basic, time)"
+                )
+    return stages
+
+
 def compose_streams(
     input_stream: DataFrame,
     stages: Sequence[Callable[[DataFrame], DataFrame]],

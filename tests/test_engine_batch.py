@@ -370,6 +370,35 @@ class TestGlobalRank:
         }
         assert two == one and len(two) == 5000
 
+    def test_threshold_selects_physical_path(self, spark):
+        """Plan-shape pin (VERDICT r2 #5): above the threshold the rank
+        must execute as the range-partitioned two-phase form — windows
+        partitioned by `_pid`, never a global single-task window sort.
+        The single-task form shows up in the physical plan as an
+        `Exchange SinglePartition` feeding the window; the two-phase
+        form must not contain one. (Output partition COUNTS are not a
+        reliable pin here: AQE coalesces the tiny post-window shuffle
+        and localCheckpoint truncates the range-exchange lineage.)"""
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.operators.rank import with_global_rank0
+
+        df = (
+            spark.range(0, 4000)
+            .select(((F.col("id") * 48271) % 99991).alias("key"))
+            .repartition(8)
+        )
+        big = with_global_rank0(
+            df, "key", single_task_threshold=100, partitions=8
+        )
+        assert "SinglePartition" not in big._jdf.queryExecution().executedPlan().toString()
+        small = with_global_rank0(df, "key", single_task_threshold=100_000)
+        assert "SinglePartition" in small._jdf.queryExecution().executedPlan().toString()
+        # and both paths agree on the ranking they produce
+        b = {r["key"]: r["rank0"] for r in big.collect()}
+        s = {r["key"]: r["rank0"] for r in small.collect()}
+        assert b == s and len(b) == 4000
+
     def test_two_phase_drives_basic_pager(self, spark):
         """basic_pager with the two-phase rank forced (threshold 0 via a
         tiny monkeypatch) matches the dense-seq narrow map."""

@@ -164,6 +164,35 @@ class TestComposeStreams:
         out = self._compose(spark, chunk_dir, workdir).run_until_drained()
         assert assignments_map(out) == self._batch_want(spark, stream_pdf)
 
+    def test_spec_front_door_matches_batch_multi(
+        self, spark, workdir, stream_pdf
+    ):
+        """stages_from_spec: the same multi JobSpec drives batch build()
+        and the streaming composition — outputs must agree."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "subject", "column": "doc_id"},
+                {"strategy": "basic", "page_size": 5},
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=4)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        out = compose_streams(
+            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
+        ).run_until_drained()
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        want = build(batch_df, spec).assignments
+        assert assignments_map(out) == assignments_map(want)
+
     def test_kill_resume_matches_batch(self, spark, workdir, stream_pdf):
         chunk_dir = os.path.join(workdir, "chunks")
         first, rest = stream_pdf.iloc[:1200], stream_pdf.iloc[1200:]
