@@ -969,8 +969,11 @@ def q_ann_lsh_recall(spark, sf_dir):
     truth = each query's top-10 cosine neighbors (4-dp rounded, vec_id
     tie-break — the rounding the other embedding queries already pin as
     cross-engine-stable); a truth pair counts as hit when the two vectors
-    share any band bucket. One aggregate row: n_queries / truth_pairs /
-    hits / recall.
+    share any band bucket. One row PER COSINE BAND (floor(cos·20)):
+    n_queries / truth_pairs / hits / recall — banded because sign-LSH
+    recall is a function of pair cosine, and the fixture's top-10 truth
+    is dominated by the 0.25-0.5 regime where 16-bit bands are
+    near-blind by design (see cos_band grouping comment below).
 
     Scale shape: the query sample broadcasts (no big-side shuffle for the
     truth scan); the hit check is a band+bucket equijoin on the bucket
@@ -990,7 +993,7 @@ def q_ann_lsh_recall(spark, sf_dir):
         pairs.withColumn("_c", F.round(_cosine(F.col("qe"), F.col("embedding")), 4))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= 10)
-        .select("q_id", "vec_id")
+        .select("q_id", "vec_id", "_c")
     )
     bk = q_ann_lsh(spark, sf_dir).localCheckpoint()
     qbk = bk.select(
@@ -1007,11 +1010,25 @@ def q_ann_lsh_recall(spark, sf_dir):
     )
     scored = truth.join(hit_pairs, ["q_id", "vec_id"], "left")
     hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-    return scored.agg(
-        F.countDistinct("q_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("truth_pairs"),
-        hits.cast("long").alias("hits"),
-        F.round(hits.cast("double") / F.count(F.lit(1)), 4).alias("recall"),
+    # recall BY SIMILARITY BAND (floor(cos·20): band 6 = [0.30,0.35)):
+    # sign-LSH recall is a function of the pair's cosine — one blended
+    # number over a truth set dominated by low-sim top-10 neighbors
+    # reads as "LSH broken" when it is the documented low-similarity
+    # weakness (operators/lsh.py docstring). The banded output shows
+    # recall rising with cosine exactly as 1-(1-p^bits)^bands predicts.
+    return (
+        scored.withColumn(
+            "cos_band", F.floor(F.col("_c") * 20).cast("int")
+        )
+        .groupBy("cos_band")
+        .agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("truth_pairs"),
+            hits.cast("long").alias("hits"),
+            F.round(hits.cast("double") / F.count(F.lit(1)), 4).alias(
+                "recall"
+            ),
+        )
     )
 
 
@@ -1030,8 +1047,8 @@ p AS (
   FROM q JOIN embeddings e ON e.vec_id <> q.q_id
 ),
 truth AS (
-  SELECT q_id, vec_id FROM (
-    SELECT q_id, vec_id,
+  SELECT q_id, vec_id, c FROM (
+    SELECT q_id, vec_id, c,
            row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
     FROM p
   ) WHERE rn <= 10
@@ -1043,13 +1060,15 @@ hits AS (
   JOIN bk a ON a.vec_id = t.q_id
   JOIN bk b ON b.vec_id = t.vec_id AND b.band = a.band AND b.bucket = a.bucket
 )
-SELECT CAST(COUNT(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+SELECT CAST(floor(t.c * 20) AS INTEGER) AS cos_band,
+       CAST(COUNT(DISTINCT t.q_id) AS BIGINT) AS n_queries,
        COUNT(*) AS truth_pairs,
        CAST(SUM(CASE WHEN h.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        round(CAST(SUM(CASE WHEN h.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 4) AS recall
 FROM truth t
 LEFT JOIN hits h ON h.q_id = t.q_id AND h.vec_id = t.vec_id
+GROUP BY CAST(floor(t.c * 20) AS INTEGER)
 """
 
 
@@ -1159,7 +1178,10 @@ def q_lang_guess(spark, sf_dir):
     return docs.select("doc_id", "lang", best.alias("pred_lang"))
 
 
-def _sql_lang_guess() -> str:
+def _sql_lang_pred_expr() -> str:
+    """The sequential-argmax language guess as a single SQL expression
+    over a ``words`` list column — shared by lang_guess and
+    corpus_filter so the two oracles can't drift."""
     score = {
         lang: f"len(list_filter(words, w -> list_contains({m!r}, w)))"
         for lang, m in _LANG_MARKERS.items()
@@ -1172,9 +1194,13 @@ def _sql_lang_guess() -> str:
         expr_score = (
             f"CASE WHEN {score[lang]} > {expr_score} THEN {score[lang]} ELSE {expr_score} END"
         )
+    return expr
+
+
+def _sql_lang_guess() -> str:
     return f"""
 WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
-SELECT doc_id, lang, {expr} AS pred_lang FROM w
+SELECT doc_id, lang, {_sql_lang_pred_expr()} AS pred_lang FROM w
 """
 
 
@@ -1477,6 +1503,339 @@ SQL_MULTI_GIANT_PARENT_TRIE = _trie_sql(
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline, round 3: dedup clustering, IVF-style ANN,
+# stratified sampling, corpus filtering, corpus n-gram stats
+# --------------------------------------------------------------------------
+def q_dedup_cluster(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the band-pruned
+    jaccard pairs (ngram_jaccard output is the edge list), one canonical
+    doc per component. Pairs alone under-delete — if A~B and B~C but
+    A!~C, pairwise keep-min retains two of {A,B,C}; the component
+    closure is what a real dedup pass deletes against.
+
+    Scale shape: operators/graph.connected_components — per-round
+    equijoin + groupBy(node).min, O(component diameter) rounds, nothing
+    driver-side but the convergence counter. Singleton docs (no edges)
+    come out as their own cluster, so the output covers every doc."""
+    from bucketizers_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = q_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(
+        edges,
+        "a_id",
+        "b_id",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+        node_col="node",
+    )
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE
+ej AS (SELECT a_id, b_id FROM ({SQL_NGRAM_JACCARD}) j),
+e AS (SELECT a_id AS a, b_id AS b FROM ej
+      UNION SELECT b_id, a_id FROM ej),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b WHERE e.b <> r.a
+),
+lab AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM lab
+"""
+
+
+_IVF_K = 16  # centroid count (list count); production: kmeans-sampled
+_IVF_NPROBE = 4  # probed lists per query
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: partition vectors into K inverted lists by nearest
+    centroid, probe the NPROBE nearest lists per query, exact-rescore
+    only inside probed lists — the indexed scale path next to the
+    brute-force ``ann_topk`` baseline (same output shape, so recall is
+    directly comparable).
+
+    Centroids here are the K lowest-id vectors — DETERMINISTIC so the
+    DuckDB oracle can replay them; a production build trains them with
+    sampled k-means and broadcasts the result, which changes only the
+    centroid frame (the seam is the ``cents`` broadcast below). Cell
+    assignment is one broadcast-join + map-side-combined argmax groupBy
+    (n rows shuffled once); the probe is an equijoin on cell id — never
+    an all-pairs product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    # assign: argmax over K rounded cosines, ties to the smallest c_id
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "c_id",
+        F.round(_cosine(F.col("embedding"), F.col("ce"))
+                , 4).alias("_sim"),
+    )
+    best = F.max(F.struct(F.col("_sim"), (-F.col("c_id")).alias("_nc")))
+    cells = scored.groupBy("vec_id").agg(
+        (-best.getField("_nc")).cast("long").alias("cell")
+    )
+    # probe: NPROBE best cells per query vector (queries: every 100th id)
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qscored = qs.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qe",
+        F.col("c_id").alias("cell"),
+        F.round(_cosine(F.col("qe"), F.col("ce")), 4).alias("_cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("cell")
+    )
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= _IVF_NPROBE)
+        .select("query_id", "qe", "cell")
+    )
+    # rescore inside probed lists only
+    members = cells.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    cand = probes.join(members, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
+    scored2 = cand.select(
+        "query_id", "vec_id", sim.alias("sim_r4")
+    ).groupBy("query_id", "vec_id").agg(
+        F.max("sim_r4").alias("sim_r4")  # dedup multi-probe hits
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r4").desc(), F.col("vec_id")
+    )
+    return scored2.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 10
+    )
+
+
+_SQL_COS = """
+round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  4)"""
+
+SQL_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
+),
+scored AS (
+  SELECT e.vec_id, c.c_id,
+         {_SQL_COS.format(a='e.embedding', b='c.ce')} AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+qs AS (
+  SELECT q.query_id, q.qe, c.c_id AS cell,
+         {_SQL_COS.format(a='q.qe', b='c.ce')} AS cs
+  FROM q CROSS JOIN cents c
+),
+probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT query_id, qe, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell) AS pr
+    FROM qs
+  ) WHERE pr <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, m.vec_id,
+         max({_SQL_COS.format(a='p.qe', b='e.embedding')}) AS sim_r4
+  FROM probes p
+  JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_id
+  JOIN embeddings e ON e.vec_id = m.vec_id
+  GROUP BY p.query_id, m.vec_id
+)
+SELECT query_id, vec_id, sim_r4, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_r4 DESC, vec_id) AS rk
+  FROM cand
+) WHERE rk <= 10
+"""
+
+
+# per-stratum keep thresholds on the first 2 hex chars of md5(doc_id):
+# uniform over 256 values, so '20' keeps 32/256 = 12.5%, '80' keeps 50%.
+# Downsamples the dominant language — the class-rebalancing move a
+# training-data pipeline applies before tokenization. The md5-prefix
+# comparison is a pure string compare, bit-identical across engines (no
+# engine-specific hash function in the contract).
+_STRATA_THRESH = {"en": "20", "es": "80", "de": "80", "fr": "80"}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-based stratified sampling: keep doc iff
+    md5(doc_id)[0:2] < threshold(lang). Narrow map + filter — no
+    shuffle, no RNG state, reproducible under retries/replays (the
+    property that matters for exactly-once pipelines; rand()-based
+    sampling re-draws on task retry)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.lit(None).cast("string")
+    expr = F.lit("00")
+    for lang, t in _STRATA_THRESH.items():
+        expr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(expr)
+    thresh = expr
+    return docs.select(
+        "doc_id", "lang", key.alias("sample_key")
+    ).where(key < thresh)
+
+
+def _sql_strata_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN '{t}'"
+        for lang, t in _STRATA_THRESH.items()
+    )
+    return f"CASE {whens} ELSE '00' END"
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_sql_strata_case()}
+"""
+
+
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end corpus filter — the composition a pre-training data
+    pipeline actually runs: quality gate (length + stopword ratio) ∧
+    language agreement (declared == n-gram guess) ∧ exact-dedup keep
+    (doc is its md5-canon). Each input is an already-verified operator
+    (text_quality, lang_guess, dedup_exact); the composition is pure
+    column logic over three narrow maps + one md5 window — a single
+    shuffle end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    stop_ratio = F.round(stops.cast("double") / F.size(words), 4)
+    canon = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*m)))
+        for lang, m in _LANG_MARKERS.items()
+    }
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ["es", "de", "fr"]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    out = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        best.alias("_pred"),
+        canon.alias("_canon"),
+    )
+    return out.where(
+        (F.col("n_words") >= 5)
+        & (F.col("stop_ratio") <= 0.5)
+        & (F.col("_pred") == F.col("lang"))
+        & (F.col("_canon") == F.col("doc_id"))
+    ).select("doc_id", "lang", "n_words", "stop_ratio")
+
+
+SQL_CORPUS_FILTER = f"""
+WITH w AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS words,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, canon,
+         len(words) AS n_words,
+         round(CAST(len(list_filter(words, w -> list_contains({_STOPWORDS!r}, w))) AS DOUBLE)
+               / len(words), 4) AS stop_ratio,
+         ({_sql_lang_pred_expr()}) AS pred
+  FROM w
+)
+SELECT doc_id, lang, n_words, stop_ratio
+FROM feat
+WHERE n_words >= 5 AND stop_ratio <= 0.5 AND pred = lang AND canon = doc_id
+"""
+
+
+_NGRAM_TOPK = 20
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-level top-K word bigrams. The top-K is ``orderBy + limit``
+    on the aggregated counts — Spark plans that as TakeOrderedAndProject
+    (per-partition heaps + driver merge of K rows), so no global sort of
+    the distinct-ngram frame ever happens; the deterministic (count
+    desc, ngram asc) order makes the K-row cut stable for hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    counts = (
+        docs.where(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("ngram")).limit(
+        _NGRAM_TOPK
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("ngram"))
+    return topk.withColumn("rk", F.row_number().over(w))
+
+
+SQL_NGRAM_TOPK = f"""
+WITH w AS (SELECT string_split(text, ' ') AS words FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i + 1])) AS ngram
+  FROM w
+),
+counts AS (SELECT ngram, COUNT(*) AS cnt FROM bg GROUP BY ngram)
+SELECT ngram, cnt, row_number() OVER (ORDER BY cnt DESC, ngram) AS rk
+FROM counts ORDER BY cnt DESC, ngram LIMIT {_NGRAM_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 QUERIES = {
@@ -1512,6 +1871,11 @@ QUERIES = {
     "token_prefix_trie": q_token_prefix_trie,
     "multi_source_trie": q_multi_source_trie,
     "multi_giant_parent_trie": q_multi_giant_parent_trie,
+    "dedup_cluster": q_dedup_cluster,
+    "ann_ivf": q_ann_ivf,
+    "sample_stratified": q_sample_stratified,
+    "corpus_filter": q_corpus_filter,
+    "ngram_topk": q_ngram_topk,
 }
 
 ORACLES = {
@@ -1547,4 +1911,9 @@ ORACLES = {
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,
     "multi_source_trie": SQL_MULTI_SOURCE_TRIE,
     "multi_giant_parent_trie": SQL_MULTI_GIANT_PARENT_TRIE,
+    "dedup_cluster": SQL_DEDUP_CLUSTER,
+    "ann_ivf": SQL_ANN_IVF,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "corpus_filter": SQL_CORPUS_FILTER,
+    "ngram_topk": SQL_NGRAM_TOPK,
 }

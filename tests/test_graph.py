@@ -1,0 +1,59 @@
+"""connected_components (operators/graph.py) — the dedup-cluster
+closure. Cases: multi-component graphs, chains (diameter > 1 round),
+isolated nodes via ``nodes=``, string ids, and the strict
+non-convergence valve."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bucketizers_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(e, **kw)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+class TestConnectedComponents:
+    def test_two_components_and_chain(self, spark):
+        # {1,2,3,4} as a 4-chain (diameter 3) and {10,11} as an edge
+        got = _cc(spark, [(2, 1), (3, 2), (4, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_triangle_plus_pendant(self, spark):
+        got = _cc(spark, [(5, 6), (6, 7), (7, 5), (7, 8)])
+        assert got == {5: 5, 6: 5, 7: 5, 8: 5}
+
+    def test_isolated_nodes_are_singletons(self, spark):
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        nodes = spark.range(1, 6).select(F.col("id").alias("node"))
+        out = connected_components(e, nodes=nodes)
+        got = {r["node"]: r["component"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+    def test_string_ids(self, spark):
+        e = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("x", "y")], "src string, dst string"
+        )
+        out = connected_components(e)
+        got = {r["node"]: r["component"] for r in out.collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_self_loops_ignored(self, spark):
+        got = _cc(spark, [(1, 1), (1, 2), (2, 2)])
+        assert got == {1: 1, 2: 1}
+
+    def test_strict_valve_raises_then_lenient_passes(self, spark):
+        # an 8-chain needs more than 2 min-propagation rounds
+        chain = [(i + 1, i) for i in range(1, 8)]
+        e = spark.createDataFrame(chain, "src long, dst long")
+        with pytest.raises(RuntimeError, match="no fixpoint"):
+            connected_components(e, max_rounds=2)
+        out = connected_components(e, max_rounds=2, strict=False)
+        # lenient: still a valid partial merge (labels monotonically
+        # decreased), just not the full closure
+        got = {r["node"]: r["component"] for r in out.collect()}
+        assert all(c <= n for n, c in got.items())
