@@ -31,7 +31,11 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "ann_topk",
+    "ann_ivf",
     "emb_near_dup",
+    "dedup_cluster",
+    "corpus_filter",
+    "ngram_topk",
     "text_quality",
     "doc_fingerprint",
 ]
@@ -46,13 +50,21 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the plans
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    # warm the Python/Arrow worker pool (pandas import per worker) so the
-    # first applyInPandas query measures its plan, not interpreter startup
+    # warm the Python/Arrow worker pool so the first applyInPandas /
+    # pandas_udf query measures its plan, not interpreter startup. The
+    # warmup kernel imports numpy because the LSH UDFs do: without it the
+    # first embedding query pays 32 parallel numpy imports (~seconds
+    # under IO contention) that belong to worker startup, not the plan.
     from pyspark.sql import functions as F
+
+    def _warm(p):
+        import numpy  # noqa: F401 — exercised for the import side effect
+
+        return p
 
     spark.range(0, 256, 1, 32).withColumn("g", F.col("id") % 32).groupBy(
         "g"
-    ).applyInPandas(lambda p: p, "id long, g long").count()
+    ).applyInPandas(_warm, "id long, g long").count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -54,9 +54,15 @@ def connected_components(
     own singleton component. Node ids must be orderable (int or string).
     ``strict=True`` raises if ``max_rounds`` passes without a fixpoint
     (an unconverged result silently under-merges clusters)."""
+    # materialize the caller's edge plan ONCE before mirroring it: the
+    # union's two branches would otherwise re-execute a possibly huge
+    # upstream pipeline (dedup_cluster feeds the whole band-join +
+    # jaccard rescore here) twice
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
