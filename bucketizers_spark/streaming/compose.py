@@ -80,27 +80,40 @@ class ComposedStreams:
         self._queries = []
         self._plans = []
         current = input_stream
+        last_data_dir = None
         for k, stage in enumerate(stages):
-            out = stage(current)
             data_dir = os.path.join(workdir, f"stage{k}", "data")
             ckpt_dir = os.path.join(workdir, f"stage{k}", "ckpt")
             os.makedirs(data_dir, exist_ok=True)
-            self._plans.append((out, data_dir, ckpt_dir))
+            if callable(stage):
+                # stream→stream transform: run it, stage its micro-batches
+                out = stage(current)
+                handler = _batch_writer(data_dir)
+                schema = out.schema
+            else:
+                # job stage (JOB_STAGE_PROTOCOL): a foreachBatch job with
+                # its own versioned state — the handler runs the job AND
+                # stages each committed batch for the next stage
+                out = current
+                handler = stage.make_handler(data_dir)
+                schema = stage.output_schema(current.schema)
+            self._plans.append((out, handler, ckpt_dir))
+            last_data_dir = data_dir
             if k < len(stages) - 1:
-                # schema is known from the (unstarted) streaming frame, so
-                # the next stage's file source opens before any file exists
+                # schema is known before start, so the next stage's file
+                # source opens before any file exists
                 current = (
-                    self.spark.readStream.schema(out.schema)
+                    self.spark.readStream.schema(schema)
                     .option("maxFilesPerTrigger", max_files_per_trigger)
                     .option("latestFirst", "false")
                     .parquet(data_dir)
                 )
-        self.output_dir = self._plans[-1][1]
+        self.output_dir = last_data_dir
 
     def start(self) -> "ComposedStreams":
-        for out, data_dir, ckpt_dir in self._plans:
+        for out, handler, ckpt_dir in self._plans:
             q = (
-                out.writeStream.foreachBatch(_batch_writer(data_dir))
+                out.writeStream.foreachBatch(handler)
                 .option("checkpointLocation", ckpt_dir)
                 .outputMode("append")
                 .start()
@@ -129,6 +142,76 @@ class ComposedStreams:
         return self.spark.read.parquet(os.path.join(self.output_dir, "*.parquet"))
 
 
+class TrieStage:
+    """``TrieStreamJob`` as a compose stage (the JOB_STAGE_PROTOCOL: an
+    object with ``output_schema`` + ``make_handler`` instead of a
+    stream→stream callable). The versioned-counter trie cascade
+    (streaming/trie_stream.py) cannot be an applyInPandasWithState
+    transform — placement needs cross-key coordination per level — so
+    the stage runs the job's foreachBatch handler under the compose
+    checkpoint, then stages each committed batch's assignments as the
+    atomic batch file the next stage's file source consumes.
+
+    Exactly-once across resume: ``process_batch`` is replay-idempotent
+    (sink manifest + versioned counters); the staging step is skipped
+    when the batch file already exists, and a crash between sink commit
+    and staging is healed on replay by re-staging from the sink."""
+
+    def __init__(
+        self,
+        *,
+        mode: str = "token",
+        value_col: str = "tokens",
+        page_size: int = 50,
+        max_depth: int = 8,
+        root: str = "root",
+    ):
+        self.mode = mode
+        self.value_col = value_col
+        self.page_size = page_size
+        self.max_depth = max_depth
+        self.root = root
+
+    def output_schema(self, input_schema):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            list(input_schema.fields)
+            + [T.StructField("bucket_id", T.StringType())]
+        )
+
+    def make_handler(self, data_dir: str):
+        from bucketizers_spark.streaming.trie_stream import TrieStreamJob
+
+        stage_root = os.path.dirname(data_dir)
+        job = TrieStreamJob(
+            os.path.join(stage_root, "sink"),
+            os.path.join(stage_root, "state"),
+            mode=self.mode,
+            value_col=self.value_col,
+            page_size=self.page_size,
+            max_depth=self.max_depth,
+            root=self.root,
+        )
+
+        def handler(bdf, batch_id: int) -> None:
+            job.process_batch(bdf, batch_id)
+            final = os.path.join(data_dir, f"batch-{batch_id:09d}.parquet")
+            if os.path.exists(final):
+                return
+            out = bdf.sparkSession.read.parquet(
+                os.path.join(job.sink.root, f"batch_id={batch_id}")
+            )
+            tmp = os.path.join(data_dir, f"_tmp-{batch_id}")
+            out.coalesce(1).write.mode("overwrite").parquet(tmp)
+            parts = glob.glob(os.path.join(tmp, "part-*"))
+            if parts:
+                os.replace(parts[0], final)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        return handler
+
+
 def stages_from_spec(spec) -> list:
     """Map a validated multi JobSpec onto compose_streams stage
     transforms, where per-stage streaming forms exist:
@@ -136,14 +219,18 @@ def stages_from_spec(spec) -> list:
     - stage 0 ``subject``: stateless bucket + keyed first-seen state
       (stateful.subject_page_stream)
     - stage 0 ``time`` (tumbling/sliding): stateless window bucket map
+    - stage 0 ``substring``: TrieStage — the versioned-counter trie
+      cascade as a job stage (see TrieStage)
     - child ``basic``: per-parent page-counter state
       (stateful.paged_stream)
     - child ``time``: stateless ``parent/window-start`` map
 
-    ``substring`` and ``geospatial`` streaming forms are foreachBatch
-    jobs with cross-key/versioned state (TrieStreamJob, GeoStreamJob) —
-    they don't fit the stream→stream transform shape, so composing them
-    means staging their sinks manually; this raises with that pointer."""
+    ``geospatial`` stage-0 remains manual: GeoStreamJob is TWO queries
+    (tile pager + the applyInPandasWithState fallback pager on the
+    unmatched side-output), which one compose stage cannot host — use
+    GeoStreamJob.start_with_fallback and feed its read_assignments output
+    onward. Per-parent substring/geospatial CHILDREN keep cross-key state
+    per parent; batch multi supports them (pipeline._build_multi)."""
     from pyspark.sql import functions as F
 
     from bucketizers_spark.config import JobSpec, spec_from_dict
@@ -188,11 +275,22 @@ def stages_from_spec(spec) -> list:
                 "tumbling", "sliding",
             ):
                 stages.append(lambda s, c=sub: time_bucket(s, c, None))
+            elif sub.strategy == "substring":
+                stages.append(
+                    TrieStage(
+                        mode="token" if sub.token_mode else "char",
+                        value_col=sub.column or "tokens",
+                        page_size=sub.page_size,
+                        max_depth=sub.max_depth,
+                        root=sub.root,
+                    )
+                )
             else:
                 raise NotImplementedError(
-                    f"streaming stage-1 form for {sub.strategy!r}: compose "
-                    "TrieStreamJob/GeoStreamJob sinks manually (their "
-                    "state is cross-key/versioned, not per-stage keyed)"
+                    f"streaming stage-1 form for {sub.strategy!r}: "
+                    "GeoStreamJob is two queries (tile pager + stateful "
+                    "fallback) — start it via start_with_fallback and "
+                    "feed read_assignments onward"
                 )
         else:
             if sub.strategy == "basic":

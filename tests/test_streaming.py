@@ -193,6 +193,42 @@ class TestComposeStreams:
         want = build(batch_df, spec).assignments
         assert assignments_map(out) == assignments_map(want)
 
+    def test_trie_stage_then_basic_child_matches_batch(
+        self, spark, workdir, stream_pdf
+    ):
+        """TrieStage: substring(token) stage-0 as a compose job stage,
+        basic child paging within each trie bucket — streaming == the
+        batch multi build over the same spec."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {
+                    "strategy": "substring",
+                    "column": "tokens",
+                    "token_mode": True,
+                    "page_size": 20,
+                    "max_depth": 6,
+                },
+                {"strategy": "basic", "page_size": 5},
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=4)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        out = compose_streams(
+            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
+        ).run_until_drained()
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        want = build(batch_df, spec).assignments
+        assert assignments_map(out) == assignments_map(want)
+
     def test_kill_resume_matches_batch(self, spark, workdir, stream_pdf):
         chunk_dir = os.path.join(workdir, "chunks")
         first, rest = stream_pdf.iloc[:1200], stream_pdf.iloc[1200:]
