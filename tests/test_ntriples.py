@@ -1,0 +1,115 @@
+"""N-Triples/N-Quads source (sources/ntriples.py): term decoding,
+escapes, malformed routing, and the quad-table → property-path →
+bucketize integration (the reference's rdf-js member path,
+BucketizerCore.ts:336-348)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+_NT = r"""
+# a comment line
+
+<http://ex.org/s1> <http://ex.org/name> "John Doe" .
+<http://ex.org/s1> <http://ex.org/knows> <http://ex.org/s2> .
+_:b1 <http://ex.org/name> "quote \" backslash \\ newline \n tab \t" .
+<http://ex.org/s2> <http://ex.org/name> "Jän"@de .
+<http://ex.org/s2> <http://ex.org/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex.org/s3> <http://ex.org/name> "has \\n literal backslash-n" .
+this line is not a triple
+<http://ex.org/s4> <http://ex.org/in> <http://ex.org/o4> <http://ex.org/graph1> .
+""".strip("\n")
+
+
+@pytest.fixture()
+def nt_path(tmp_path):
+    p = tmp_path / "data.nt"
+    p.write_text(_NT)
+    return str(p)
+
+
+class TestReadNtriples:
+    def test_terms_and_literals(self, spark, nt_path):
+        from bucketizers_spark.sources.ntriples import read_ntriples
+
+        rows = {
+            (r["subject"], r["predicate"]): r
+            for r in read_ntriples(spark, nt_path).collect()
+        }
+        assert len(rows) == 7  # malformed line dropped
+        r = rows[("http://ex.org/s1", "http://ex.org/name")]
+        assert (r["object"], r["object_kind"]) == ("John Doe", "literal")
+        assert r["object_datatype"] is None and r["object_lang"] is None
+        r = rows[("http://ex.org/s1", "http://ex.org/knows")]
+        assert (r["object"], r["object_kind"]) == ("http://ex.org/s2", "iri")
+        r = rows[("_:b1", "http://ex.org/name")]
+        assert r["object"] == 'quote " backslash \\ newline \n tab \t'
+        r = rows[("http://ex.org/s2", "http://ex.org/name")]
+        assert r["object_lang"] == "de"
+        r = rows[("http://ex.org/s2", "http://ex.org/age")]
+        assert r["object"] == "42"
+        assert r["object_datatype"].endswith("XMLSchema#integer")
+        # a literal backslash before 'n' survives as backslash+n
+        r = rows[("http://ex.org/s3", "http://ex.org/name")]
+        assert r["object"] == "has \\n literal backslash-n"
+
+    def test_nquads_graph_term(self, spark, nt_path):
+        from bucketizers_spark.sources.ntriples import read_ntriples
+
+        out = read_ntriples(spark, nt_path)
+        g = {r["subject"]: r["graph"] for r in out.collect()}
+        assert g["http://ex.org/s4"] == "http://ex.org/graph1"
+        assert g["http://ex.org/s1"] is None
+
+    def test_malformed_dead_letter(self, spark, nt_path):
+        from bucketizers_spark.sources.ntriples import read_ntriples
+
+        out = read_ntriples(spark, nt_path, keep_malformed=True)
+        bad = [r for r in out.collect() if r["_malformed"] is not None]
+        assert len(bad) == 1
+        assert bad[0]["_malformed"].startswith("this line")
+        assert bad[0]["subject"] is None
+
+    def test_property_path_to_bucketize(self, spark, tmp_path):
+        """knows→name two-hop path over parsed N-Quads, one named graph
+        per member (the SDS record shape: a member's quads — including
+        nested nodes — share its graph). member_from='graph' stamps the
+        member id; the multi-hop extraction stays within each member's
+        own quads exactly like the reference's per-member store walk
+        (BucketizerCore.ts:336-348)."""
+        from bucketizers_spark.functions.quads import (
+            extract_property_path,
+            parse_property_path,
+        )
+        from bucketizers_spark.sources.ntriples import (
+            member_quads,
+            read_ntriples,
+        )
+
+        lines = []
+        for i in range(30):
+            m = f"http://ex.org/m{i}"
+            lines.append(
+                f"<{m}> <http://ex.org/knows> "
+                f"<http://ex.org/p{i % 5}> <{m}> ."
+            )
+            lines.append(
+                f"<http://ex.org/p{i % 5}> <http://ex.org/name> "
+                f'"person{i % 5}" <{m}> .'
+            )
+        p = tmp_path / "members.nq"
+        p.write_text("\n".join(lines))
+
+        quads = member_quads(
+            read_ntriples(spark, str(p)), member_from="graph"
+        )
+        path = parse_property_path(
+            "(<http://ex.org/knows> <http://ex.org/name>)"
+        )
+        vals = extract_property_path(quads, path)
+        got = {(r["member_id"], r["value"]) for r in vals.collect()}
+        assert got == {
+            (f"http://ex.org/m{i}", f"person{i % 5}") for i in range(30)
+        }
