@@ -14,9 +14,12 @@ Query inventory maps to SURVEY.md §2 + the training-data pipeline extras:
 - time windows: tumbling / sliding / session + the windowed stateful
   join (north_rule streaming ops, batch-parity forms)
 - multi composition (S5), geospatial slippy-tile paging (S4 analog)
-- dedup: exact, minhash-LSH bands, simhash, band-pruned n-gram jaccard
+- dedup: exact, minhash-LSH bands, simhash, band-pruned n-gram jaccard,
+  connected-component clustering (operators/graph.py)
 - similarity: brute-force cosine top-k, random-hyperplane sign-LSH
-- text: quality stats, language guess, token counting, fingerprinting
+  (+ per-cosine-band recall instrumentation), IVF-style probe search
+- text: quality stats, language guess, token counting, fingerprinting,
+  corpus bigram top-k, stratified hash sampling, end-to-end corpus filter
 """
 
 from __future__ import annotations
@@ -1707,11 +1710,9 @@ def q_sample_stratified(spark, sf_dir):
     sampling re-draws on task retry)."""
     docs = _t(spark, sf_dir, "documents")
     key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    thresh = F.lit(None).cast("string")
-    expr = F.lit("00")
+    thresh = F.lit("00")
     for lang, t in _STRATA_THRESH.items():
-        expr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(expr)
-    thresh = expr
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
     return docs.select(
         "doc_id", "lang", key.alias("sample_key")
     ).where(key < thresh)
