@@ -1836,6 +1836,64 @@ FROM counts ORDER BY cnt DESC, ngram LIMIT {_NGRAM_TOPK}
 """
 
 
+def q_property_path(spark, sf_dir):
+    """O2/O3 driver-gated: two-hop property-path extraction over a quad
+    table (functions/quads.extract_property_path — the reference's
+    recursive member-store walk, BucketizerCore.ts:336-348, as chained
+    predicate-filtered equijoins). The quad table is derived
+    deterministically from documents (each doc's member graph holds a
+    doc→source edge and the source node's name), so the hop-2 value
+    lands one row per doc: (doc, 'name-'+source)."""
+    from bucketizers_spark.functions.quads import (
+        extract_property_path,
+        parse_property_path,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    src = F.concat(F.lit("src:"), F.col("source"))
+    hop1 = docs.select(
+        m.alias("member_id"),
+        m.alias("subject"),
+        F.lit("ex:source").alias("predicate"),
+        src.alias("object"),
+    )
+    hop2 = docs.select(
+        m.alias("member_id"),
+        src.alias("subject"),
+        F.lit("ex:name").alias("predicate"),
+        F.concat(F.lit("name-"), F.col("source")).alias("object"),
+    )
+    quads = hop1.unionByName(hop2)
+    path = parse_property_path("(<ex:source> <ex:name>)")
+    return extract_property_path(quads, path).select(
+        "member_id", "value"
+    )
+
+
+SQL_PROPERTY_PATH = """
+WITH q AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS member_id,
+         'doc:' || CAST(doc_id AS VARCHAR) AS subject,
+         'ex:source' AS predicate,
+         'src:' || source AS object
+  FROM documents
+  UNION ALL
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR),
+         'src:' || source, 'ex:name', 'name-' || source
+  FROM documents
+),
+h1 AS (
+  SELECT member_id, object AS value FROM q
+  WHERE predicate = 'ex:source' AND subject = member_id
+)
+SELECT h1.member_id, q2.object AS value
+FROM h1 JOIN q q2
+  ON q2.predicate = 'ex:name' AND q2.subject = h1.value
+ AND q2.member_id = h1.member_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1877,6 +1935,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "corpus_filter": q_corpus_filter,
     "ngram_topk": q_ngram_topk,
+    "property_path": q_property_path,
 }
 
 ORACLES = {
@@ -1917,4 +1976,5 @@ ORACLES = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_filter": SQL_CORPUS_FILTER,
     "ngram_topk": SQL_NGRAM_TOPK,
+    "property_path": SQL_PROPERTY_PATH,
 }
