@@ -303,11 +303,33 @@ def stages_from_spec(spec) -> list:
                 "tumbling", "sliding",
             ):
                 stages.append(lambda s, c=sub: time_bucket(s, c, "_parent"))
+            elif sub.strategy == "subject":
+                # the subject child's ASSIGNMENT is stateless —
+                # parent/normalized-child (operators/multi.
+                # subject_within_parent builds the same expression);
+                # only its relations/seals need first-seen state, and
+                # compose stages carry assignment streams
+                def subj_child(s, c=sub):
+                    from bucketizers_spark.functions.normalize import (
+                        normalize_subject_col,
+                    )
+
+                    raw = F.col(c.column).cast("string")
+                    last = F.element_at(F.split(raw, "/"), -1)
+                    child = normalize_subject_col(
+                        F.concat(last, F.lit("-" + c.salt))
+                    )
+                    return s.withColumn(
+                        "bucket_id",
+                        F.concat_ws("/", F.col("bucket_id"), child),
+                    )
+
+                stages.append(subj_child)
             else:
                 raise NotImplementedError(
                     f"streaming child form for {sub.strategy!r} (batch "
                     "multi supports it; streaming children currently: "
-                    "basic, time)"
+                    "basic, subject, time)"
                 )
     return stages
 

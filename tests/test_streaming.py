@@ -229,6 +229,33 @@ class TestComposeStreams:
         want = build(batch_df, spec).assignments
         assert assignments_map(out) == assignments_map(want)
 
+    def test_subject_child_matches_batch(self, spark, workdir, stream_pdf):
+        """Streaming subject CHILD (stateless parent/normalized map) ==
+        batch multi [subject, subject]."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "subject", "column": "doc_id"},
+                {"strategy": "subject", "column": "source"},
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=3)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        out = compose_streams(
+            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
+        ).run_until_drained()
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        want = build(batch_df, spec).assignments
+        assert assignments_map(out) == assignments_map(want)
+
     def test_kill_resume_matches_batch(self, spark, workdir, stream_pdf):
         chunk_dir = os.path.join(workdir, "chunks")
         first, rest = stream_pdf.iloc[:1200], stream_pdf.iloc[1200:]
