@@ -7,3 +7,8 @@ from bucketizers_spark.operators.time_window import (  # noqa: F401
     sliding_bucketizer,
     tumbling_bucketizer,
 )
+from bucketizers_spark.operators.graph import connected_components  # noqa: F401
+from bucketizers_spark.operators.lsh import (  # noqa: F401
+    lsh_candidate_pairs,
+    sign_lsh_buckets,
+)
