@@ -207,8 +207,10 @@ quality is the NORMALIZED number (engine speedup divided by the ceiling).
 On a real multi-executor cluster (`spark-submit --py-files` at N and 4N
 executors) the raw number is the one the north_rule grades.
 
-Engine job: token-prefix trie (one-shuffle subtrie-walk algorithm,
-page_size 200, depth 6) + 10-minute tumbling window aggregation +
+Engine job: token-prefix trie (SALTED cascade — page_size 200, depth 6,
+salt 64; the zipf-hot leading token holds ~46% of rows, the salted path
+aggregates per (node, salt) then merges ≤ salt·page_size candidates per
+node) + 10-minute tumbling window aggregation +
 subject-page assignment and relations over the deterministic synthetic
 token stream (seed 42, {s['n_rows']:,} sequences; FIXTURES.md F1); input
 pre-spread + cached outside the timed region (single-file scan splits are
