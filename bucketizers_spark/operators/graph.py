@@ -87,6 +87,9 @@ def connected_components(
             .groupBy(node_col)
             .agg(F.min("_nl").alias("_nmin"))
         )
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it — one job per round instead of two (the eager
+        # checkpoint ran the plan, then the count ran again)
         new_labels = (
             labels.join(proposed, node_col, "left")
             .select(
@@ -98,7 +101,7 @@ def connected_components(
                 .cast("long")
                 .alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
         labels = new_labels.drop("_chg")
