@@ -270,6 +270,50 @@ class TestComposeStreams:
         out = c2.run_until_drained()
         assert assignments_map(out) == self._batch_want(spark, stream_pdf)
 
+    def test_trie_stage_kill_resume(self, spark, workdir, stream_pdf):
+        """TrieStage exactly-once across a mid-stream kill: the job's
+        sink manifests + versioned counters + the staged batch files all
+        resume from the stage checkpoint; the composed output must equal
+        the uninterrupted batch multi build."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {
+                    "strategy": "substring",
+                    "column": "tokens",
+                    "token_mode": True,
+                    "page_size": 20,
+                    "max_depth": 6,
+                },
+                {"strategy": "basic", "page_size": 5},
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        cdir = os.path.join(workdir, "compose")
+        first, rest = stream_pdf.iloc[:1200], stream_pdf.iloc[1200:]
+        stage_chunks(first, chunk_dir, n_chunks=3)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        c1 = compose_streams(stream, stages_from_spec(spec), cdir)
+        c1.start()
+        c1.process_all()
+        c1.stop()  # "kill" mid-stream
+
+        stage_chunks(rest, chunk_dir, n_chunks=2, start_index=3)
+        stream2 = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        out = compose_streams(
+            stream2, stages_from_spec(spec), cdir
+        ).run_until_drained()
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        want = build(batch_df, spec).assignments
+        assert assignments_map(out) == assignments_map(want)
+
 
 class TestSubjectPageStream:
     def test_keyed_state_matches_batch(self, spark, workdir, stream_pdf):
