@@ -25,7 +25,13 @@ SUBSET = [
     "geo_tile",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_cluster",
     "ann_topk",
+    "ann_ivf",
+    "sample_stratified",
+    "corpus_filter",
+    "ngram_topk",
+    "property_path",
     "text_quality",
 ]
 
