@@ -72,13 +72,17 @@ class ComposedStreams:
         workdir: str,
         *,
         max_files_per_trigger: int = 1,
+        relations: Sequence | None = None,
     ):
         if not stages:
             raise ValueError("at least one stage required")
+        if relations is not None and len(relations) != len(stages):
+            raise ValueError("relations must align 1:1 with stages")
         self.spark: SparkSession = input_stream.sparkSession
         self.workdir = workdir
         self._queries = []
         self._plans = []
+        self._rel_dirs: list[str] = []
         current = input_stream
         last_data_dir = None
         for k, stage in enumerate(stages):
@@ -108,6 +112,27 @@ class ComposedStreams:
                     .option("latestFirst", "false")
                     .parquet(data_dir)
                 )
+            rel = relations[k] if relations else None
+            if rel is not None:
+                # RELATION TEE: a second consumer of this stage's staged
+                # files deriving the stage's relation side-output (batch
+                # multi's BucketizeResult.relations analog). Reading the
+                # staged files (not the live stream) keeps the tee
+                # resume-safe and decoupled — it can lag or restart
+                # without touching the assignment path.
+                rel_in = (
+                    self.spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", max_files_per_trigger)
+                    .option("latestFirst", "false")
+                    .parquet(data_dir)
+                )
+                rel_dir = os.path.join(workdir, f"stage{k}", "rels")
+                rel_ckpt = os.path.join(workdir, f"stage{k}", "rels_ckpt")
+                os.makedirs(rel_dir, exist_ok=True)
+                self._plans.append(
+                    (rel(rel_in), _batch_writer(rel_dir), rel_ckpt)
+                )
+                self._rel_dirs.append(rel_dir)
         self.output_dir = last_data_dir
 
     def start(self) -> "ComposedStreams":
@@ -140,6 +165,27 @@ class ComposedStreams:
 
     def read_output(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.output_dir, "*.parquet"))
+
+    def read_relations(self) -> DataFrame:
+        """Union of every relation tee's staged output (RELATIONS_SCHEMA
+        — the batch multi BucketizeResult.relations analog). Raises if
+        the composition was built without relation tees."""
+        if not self._rel_dirs:
+            raise ValueError(
+                "composition has no relation tees — pass "
+                "relations=relations_from_spec(spec) to compose_streams"
+            )
+        out = None
+        for d in self._rel_dirs:
+            if not glob.glob(os.path.join(d, "*.parquet")):
+                continue
+            part = self.spark.read.parquet(os.path.join(d, "*.parquet"))
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            from bucketizers_spark.operators.core import empty_relations
+
+            return empty_relations(self.spark)
+        return out
 
 
 class TrieStage:
@@ -296,7 +342,10 @@ def stages_from_spec(spec) -> list:
             if sub.strategy == "basic":
                 stages.append(
                     lambda s, c=sub: paged_stream(
-                        s, "bucket_id", page_size=c.page_size
+                        s,
+                        "bucket_id",
+                        page_size=c.page_size,
+                        emit_page_first=True,
                     )
                 )
             elif sub.strategy == "time" and sub.window.kind in (
@@ -334,19 +383,88 @@ def stages_from_spec(spec) -> list:
     return stages
 
 
+def relations_from_spec(spec) -> list:
+    """Per-stage relation-tee transforms aligned 1:1 with
+    ``stages_from_spec`` (pass both to ``compose_streams``). Each tee
+    consumes its stage's staged output as a file stream and emits rows
+    in RELATIONS_SCHEMA:
+
+    - stage 0 ``subject``: the single-key rotation state
+      (stateful.rotation_stream — EqualThan per first-seen bucket,
+      Relation per root rotation, reference
+      SubjectPageBucketizer.ts:55-72), mapped onto the batch relation
+      columns.
+    - child ``basic``: a STATELESS filter — paged_stream stamps
+      ``is_page_first``/``rel_from`` on the assignment stream, so the
+      per-parent page link (operators/multi.paged_within_parent
+      semantics) needs no further state.
+    - others: None (substring stage-0 relations live in TrieStage's
+      job sink; time/subject-child relation tees are an open gap,
+      SURVEY §10)."""
+    from pyspark.sql import functions as F
+
+    from bucketizers_spark.config import spec_from_dict
+    from bucketizers_spark.operators.core import relation_row
+    from bucketizers_spark.streaming.stateful import rotation_stream
+
+    if isinstance(spec, dict):
+        spec = spec_from_dict(spec)
+    if spec.strategy != "multi":
+        raise ValueError("relations_from_spec takes a multi spec")
+
+    def subject_rels(s, c):
+        rot = rotation_stream(s, max_relations=c.max_relations, root=c.root)
+        return rot.select(
+            F.col("from_bucket"),
+            F.col("relation_type"),
+            F.col("to_bucket"),
+            F.when(
+                F.col("value").isNotNull(), F.array(F.col("value"))
+            ).alias("values"),
+            F.lit(None).cast("string").alias("path"),
+            F.col("seq").alias("created_at_seq"),
+        )
+
+    def basic_rels(s, c):
+        return s.where(
+            F.col("is_page_first") & F.col("rel_from").isNotNull()
+        ).select(
+            *relation_row(
+                F.col("rel_from"),
+                "Relation",
+                F.col("bucket_id"),
+                seq=F.col("seq"),
+            )
+        )
+
+    rels: list = []
+    for k, sub in enumerate(spec.configs):
+        if k == 0 and sub.strategy == "subject":
+            rels.append(lambda s, c=sub: subject_rels(s, c))
+        elif k > 0 and sub.strategy == "basic":
+            rels.append(lambda s, c=sub: basic_rels(s, c))
+        else:
+            rels.append(None)
+    return rels
+
+
 def compose_streams(
     input_stream: DataFrame,
     stages: Sequence[Callable[[DataFrame], DataFrame]],
     workdir: str,
     *,
     max_files_per_trigger: int = 1,
+    relations: Sequence | None = None,
 ) -> ComposedStreams:
     """Build (without starting) a staged multi-stage streaming composition;
     see ComposedStreams. Re-invoking with the same ``workdir`` resumes
-    from each stage's checkpoint."""
+    from each stage's checkpoint. ``relations`` (from
+    ``relations_from_spec``) adds per-stage relation tees; read them
+    with ``read_relations()``."""
     return ComposedStreams(
         input_stream,
         stages,
         workdir,
         max_files_per_trigger=max_files_per_trigger,
+        relations=relations,
     )

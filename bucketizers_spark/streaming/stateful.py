@@ -182,6 +182,7 @@ def paged_stream(
     page_size: int = 50,
     seq_col: str = "seq",
     out_col: str = "bucket_id",
+    emit_page_first: bool = False,
 ) -> DataFrame:
     """Streaming per-parent arrival-order pager: keyed page-counter state
     per parent bucket (the multi composition's child-instance-per-parent,
@@ -192,9 +193,26 @@ def paged_stream(
     The GLOBAL basic pager deliberately has no streaming-state form: with
     ``seq`` stamped at the source its page is the stateless map
     floor(seq/pageSize) (see module docstring) — routing every member
-    through one state key would serialize the stream."""
+    through one state key would serialize the stream.
+
+    ``emit_page_first=True`` adds two columns for downstream RELATION
+    derivation (streaming/compose.relations_from_spec): ``is_page_first``
+    marks each page's first arrival, ``rel_from`` carries the previous
+    page's bucket id (NULL on page 0, whose root collapses onto the
+    parent — operators/multi.paged_within_parent semantics). The page
+    link is then a stateless filter over this stream's staged output."""
     fields = [f for f in stream_df.schema.fields if f.name != out_col]
-    out_schema = T.StructType(fields + [T.StructField(out_col, T.StringType())])
+    extra = (
+        [
+            T.StructField("is_page_first", T.BooleanType()),
+            T.StructField("rel_from", T.StringType()),
+        ]
+        if emit_page_first
+        else []
+    )
+    out_schema = T.StructType(
+        fields + [T.StructField(out_col, T.StringType())] + extra
+    )
     names = [f.name for f in fields]
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -202,11 +220,21 @@ def paged_stream(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
             pdf = pdf.sort_values(seq_col).reset_index(drop=True)
-            pages = (cnt + np.arange(len(pdf))) // page_size
+            offs = cnt + np.arange(len(pdf))
+            pages = offs // page_size
             parent = str(key[0])
-            yield pdf[names].assign(
+            out = pdf[names].assign(
                 **{out_col: [f"{parent}/{p}" for p in pages]}
             )
+            if emit_page_first:
+                out = out.assign(
+                    is_page_first=(offs % page_size == 0),
+                    rel_from=[
+                        f"{parent}/{p - 1}" if p >= 1 else None
+                        for p in pages
+                    ],
+                )
+            yield out
             cnt += len(pdf)
         state.update((int(cnt),))
 

@@ -270,6 +270,58 @@ class TestComposeStreams:
         out = c2.run_until_drained()
         assert assignments_map(out) == self._batch_want(spark, stream_pdf)
 
+    def test_relation_tees_match_batch(self, spark, workdir, stream_pdf):
+        """Relation tees (relations_from_spec): the composed streaming
+        relations — subject rotation/EqualThan from the stage-0 tee plus
+        per-parent page links from the basic child's stateless tee —
+        must equal batch multi's BucketizeResult.relations."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            relations_from_spec,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {
+                    "strategy": "subject",
+                    "column": "doc_id",
+                    "max_relations": 10,
+                },
+                {"strategy": "basic", "page_size": 5},
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=4)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        comp = compose_streams(
+            stream,
+            stages_from_spec(spec),
+            os.path.join(workdir, "compose"),
+            relations=relations_from_spec(spec),
+        )
+        out = comp.run_until_drained()
+        got_rels = comp.read_relations()
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                tuple(r["values"] or []),
+                r["created_at_seq"],
+            )
+
+        got = {key(r) for r in got_rels.collect()}
+        want = {key(r) for r in res.relations.collect()}
+        assert got == want and len(got) > 50
+
     def test_trie_stage_kill_resume(self, spark, workdir, stream_pdf):
         """TrieStage exactly-once across a mid-stream kill: the job's
         sink manifests + versioned counters + the staged batch files all
