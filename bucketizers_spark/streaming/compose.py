@@ -83,6 +83,7 @@ class ComposedStreams:
         self._queries = []
         self._plans = []
         self._rel_dirs: list[str] = []
+        self._rel_readers: list = []
         current = input_stream
         last_data_dir = None
         for k, stage in enumerate(stages):
@@ -101,6 +102,10 @@ class ComposedStreams:
                 out = current
                 handler = stage.make_handler(data_dir)
                 schema = stage.output_schema(current.schema)
+                if hasattr(stage, "relations_reader"):
+                    self._rel_readers.append(
+                        stage.relations_reader(data_dir)
+                    )
             self._plans.append((out, handler, ckpt_dir))
             last_data_dir = data_dir
             if k < len(stages) - 1:
@@ -167,24 +172,32 @@ class ComposedStreams:
         return self.spark.read.parquet(os.path.join(self.output_dir, "*.parquet"))
 
     def read_relations(self) -> DataFrame:
-        """Union of every relation tee's staged output (RELATIONS_SCHEMA
-        — the batch multi BucketizeResult.relations analog). Raises if
-        the composition was built without relation tees."""
-        if not self._rel_dirs:
+        """Union of every relation side-output: tee-staged frames plus
+        job-stage sinks (RELATIONS_SCHEMA — the batch multi
+        BucketizeResult.relations analog). Raises if the composition has
+        no relation sources at all."""
+        if not self._rel_dirs and not self._rel_readers:
             raise ValueError(
                 "composition has no relation tees — pass "
                 "relations=relations_from_spec(spec) to compose_streams"
             )
-        out = None
+        parts = []
         for d in self._rel_dirs:
-            if not glob.glob(os.path.join(d, "*.parquet")):
-                continue
-            part = self.spark.read.parquet(os.path.join(d, "*.parquet"))
-            out = part if out is None else out.unionByName(part)
-        if out is None:
+            if glob.glob(os.path.join(d, "*.parquet")):
+                parts.append(
+                    self.spark.read.parquet(os.path.join(d, "*.parquet"))
+                )
+        for read in self._rel_readers:
+            part = read(self.spark)
+            if part is not None:
+                parts.append(part)
+        if not parts:
             from bucketizers_spark.operators.core import empty_relations
 
             return empty_relations(self.spark)
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part, allowMissingColumns=True)
         return out
 
 
@@ -256,6 +269,26 @@ class TrieStage:
             shutil.rmtree(tmp, ignore_errors=True)
 
         return handler
+
+    def relations_reader(self, data_dir: str):
+        """Batch reader over the job's committed relations sink, for
+        ComposedStreams.read_relations() — the trie's relations are
+        produced inside process_batch and land in the job's own
+        idempotent sink, so no separate tee query is needed."""
+        from bucketizers_spark.sinks.idempotent import IdempotentParquetSink
+
+        stage_root = os.path.dirname(data_dir)
+        sink = IdempotentParquetSink(
+            os.path.join(stage_root, "sink", "_relations")
+        )
+
+        def read(spark):
+            try:
+                return sink.read_all(spark).drop("batch_id")
+            except FileNotFoundError:
+                return None
+
+        return read
 
 
 def stages_from_spec(spec) -> list:

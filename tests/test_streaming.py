@@ -221,13 +221,33 @@ class TestComposeStreams:
         chunk_dir = os.path.join(workdir, "chunks")
         stage_chunks(stream_pdf, chunk_dir, n_chunks=4)
         stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
-        out = compose_streams(
-            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
-        ).run_until_drained()
+        from bucketizers_spark.streaming.compose import relations_from_spec
+
+        comp = compose_streams(
+            stream,
+            stages_from_spec(spec),
+            os.path.join(workdir, "compose"),
+            relations=relations_from_spec(spec),
+        )
+        out = comp.run_until_drained()
 
         batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
-        want = build(batch_df, spec).assignments
-        assert assignments_map(out) == assignments_map(want)
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
+        # relations union: trie Substring edges from the job sink + the
+        # basic child's page links from the stateless tee
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                r["created_at_seq"],
+            )
+
+        got = {key(r) for r in comp.read_relations().collect()}
+        want = {key(r) for r in res.relations.collect()}
+        assert got == want and len(got) > 10
 
     def test_subject_child_matches_batch(self, spark, workdir, stream_pdf):
         """Streaming subject CHILD (stateless parent/normalized map) ==
