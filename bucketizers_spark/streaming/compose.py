@@ -386,14 +386,18 @@ def stages_from_spec(spec) -> list:
             ):
                 stages.append(lambda s, c=sub: time_bucket(s, c, "_parent"))
             elif sub.strategy == "subject":
-                # the subject child's ASSIGNMENT is stateless —
-                # parent/normalized-child (operators/multi.
+                # the subject child's ASSIGNMENT is a stateless
+                # parent/normalized-child map (operators/multi.
                 # subject_within_parent builds the same expression);
-                # only its relations/seals need first-seen state, and
-                # compose stages carry assignment streams
+                # keyed first-seen tagging rides along so the per-parent
+                # rotation tee (relations_from_spec) is a single further
+                # stateful step
                 def subj_child(s, c=sub):
                     from bucketizers_spark.functions.normalize import (
                         normalize_subject_col,
+                    )
+                    from bucketizers_spark.streaming.stateful import (
+                        first_seen_tag,
                     )
 
                     raw = F.col(c.column).cast("string")
@@ -401,10 +405,19 @@ def stages_from_spec(spec) -> list:
                     child = normalize_subject_col(
                         F.concat(last, F.lit("-" + c.salt))
                     )
-                    return s.withColumn(
-                        "bucket_id",
-                        F.concat_ws("/", F.col("bucket_id"), child),
+                    tagged = (
+                        # a subject stage-0 upstream leaves its own
+                        # is_first/_parent columns — this stage's tags
+                        # replace them
+                        s.drop("is_first", "_parent")
+                        .withColumnRenamed("bucket_id", "_parent")
+                        .withColumn("subject_value", raw)
+                        .withColumn(
+                            "bucket_id",
+                            F.concat_ws("/", F.col("_parent"), child),
+                        )
                     )
+                    return first_seen_tag(tagged)
 
                 stages.append(subj_child)
             else:
@@ -431,9 +444,13 @@ def relations_from_spec(spec) -> list:
       ``is_page_first``/``rel_from`` on the assignment stream, so the
       per-parent page link (operators/multi.paged_within_parent
       semantics) needs no further state.
+    - child ``subject``: a per-PARENT rotation (rotation_stream with
+      ``parent_col`` — dedicated counter state per parent, root names
+      collapsing onto the parent like operators/multi.
+      subject_within_parent).
     - others: None (substring stage-0 relations live in TrieStage's
-      job sink; time/subject-child relation tees are an open gap,
-      SURVEY §10)."""
+      job sink and surface via read_relations(); time-child relation
+      tees are an open gap, SURVEY §10)."""
     from pyspark.sql import functions as F
 
     from bucketizers_spark.config import spec_from_dict
@@ -445,8 +462,15 @@ def relations_from_spec(spec) -> list:
     if spec.strategy != "multi":
         raise ValueError("relations_from_spec takes a multi spec")
 
-    def subject_rels(s, c):
-        rot = rotation_stream(s, max_relations=c.max_relations, root=c.root)
+    def _map_rot(rot, c):
+        # batch relation_row stamps property_path on EqualThan rows only
+        # (rotation Relations carry NULL path)
+        pp = getattr(c, "property_path", None)
+        path = (
+            F.when(F.col("relation_type") == "EqualThan", F.lit(pp))
+            if pp
+            else F.lit(None)
+        )
         return rot.select(
             F.col("from_bucket"),
             F.col("relation_type"),
@@ -454,8 +478,21 @@ def relations_from_spec(spec) -> list:
             F.when(
                 F.col("value").isNotNull(), F.array(F.col("value"))
             ).alias("values"),
-            F.lit(None).cast("string").alias("path"),
+            path.cast("string").alias("path"),
             F.col("seq").alias("created_at_seq"),
+        )
+
+    def subject_rels(s, c):
+        return _map_rot(
+            rotation_stream(s, max_relations=c.max_relations, root=c.root), c
+        )
+
+    def subject_child_rels(s, c):
+        return _map_rot(
+            rotation_stream(
+                s, max_relations=c.max_relations, parent_col="_parent"
+            ),
+            c,
         )
 
     def basic_rels(s, c):
@@ -476,6 +513,8 @@ def relations_from_spec(spec) -> list:
             rels.append(lambda s, c=sub: subject_rels(s, c))
         elif k > 0 and sub.strategy == "basic":
             rels.append(lambda s, c=sub: basic_rels(s, c))
+        elif k > 0 and sub.strategy == "subject":
+            rels.append(lambda s, c=sub: subject_child_rels(s, c))
         else:
             rels.append(None)
     return rels

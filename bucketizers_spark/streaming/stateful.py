@@ -69,24 +69,35 @@ def _first_seen_fn(
     state.update((bool(seen),))
 
 
-def _make_rotation_fn(max_relations: int, root: str):
+def _make_rotation_fn(max_relations: int, root: str, parent_mode: bool = False):
     """Vectorized getCurrentStart (SubjectPageBucketizer.ts:55-72): the k-th
     new bucket overall (0-based rank r) relates from root index
     r // max_relations; a rotation (+seal of the previous root) fires with
     every bucket whose r is a positive multiple of max_relations. The keyed
-    state carries only the running total of new buckets."""
+    state carries only the running total of new buckets.
+
+    ``parent_mode``: the group key is a stage-1 PARENT bucket and the
+    child root collapses onto it — root index 0 is the parent itself,
+    rotated roots are ``parent/root-N`` (operators/multi.
+    subject_within_parent naming, MultiBucketizer.ts:123-141)."""
 
     cols = ["from_bucket", "relation_type", "to_bucket", "value", "seq", "seal"]
-
-    def root_names(idx: "np.ndarray") -> pd.Series:
-        s = pd.Series(idx).astype(str)
-        return pd.Series(
-            np.where(idx == 0, root, root + "-" + s), dtype=object
-        )
 
     def fn(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if parent_mode:
+            parent = str(key[0])
+            zero_name, prefix = parent, parent + "/root-"
+        else:
+            zero_name, prefix = root, root + "-"
+
+        def root_names(idx: "np.ndarray") -> pd.Series:
+            s = pd.Series(idx).astype(str)
+            return pd.Series(
+                np.where(idx == 0, zero_name, prefix + s), dtype=object
+            )
+
         rel_count, root_count = (
             (state.get[0], state.get[1]) if state.exists else (0, 0)
         )
@@ -290,20 +301,43 @@ def fallback_stream(
     )
 
 
+def first_seen_tag(stream_df: DataFrame, key_col: str = "bucket_id") -> DataFrame:
+    """Tag each ``key_col`` group's first arrival (by seq) with
+    ``is_first`` via keyed boolean state — the reusable half of
+    subject_page_stream, also used by the multi subject-child stage."""
+    out_schema = T.StructType(
+        stream_df.schema.fields + [T.StructField("is_first", T.BooleanType())]
+    )
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=out_schema,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def rotation_stream(
     first_seen_df: DataFrame,
     *,
     max_relations: int = 100,
     root: str = "root",
+    parent_col: str | None = None,
 ) -> DataFrame:
-    """Stage 2: route first-seen rows through the single-key rotation
-    state; emits EqualThan relations, rotation Relations, and seal marks
-    (rows with ``seal`` set)."""
-    keyed = first_seen_df.where(F.col("is_first")).withColumn(
-        "_k", F.lit(0)
-    )
-    return keyed.groupBy("_k").applyInPandasWithState(
-        _make_rotation_fn(max_relations, root),
+    """Stage 2: route first-seen rows through the rotation state; emits
+    EqualThan relations, rotation Relations, and seal marks (rows with
+    ``seal`` set). Single-key by default (the global subject pager);
+    with ``parent_col`` a DEDICATED rotation per parent bucket (the
+    multi subject-child form: parallelism = distinct parents, root
+    names collapse onto each parent)."""
+    keyed = first_seen_df.where(F.col("is_first"))
+    if parent_col is None:
+        keyed = keyed.withColumn("_k", F.lit(0))
+        group_col = "_k"
+    else:
+        group_col = parent_col
+    return keyed.groupBy(group_col).applyInPandasWithState(
+        _make_rotation_fn(max_relations, root, parent_mode=parent_col is not None),
         outputStructType=_ROTATION_OUT_SCHEMA,
         stateStructType=_ROTATION_STATE,
         outputMode="append",

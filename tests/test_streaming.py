@@ -258,23 +258,45 @@ class TestComposeStreams:
             stages_from_spec,
         )
 
+        from bucketizers_spark.streaming.compose import relations_from_spec
+
         spec = {
             "strategy": "multi",
             "configs": [
                 {"strategy": "subject", "column": "doc_id"},
-                {"strategy": "subject", "column": "source"},
+                {"strategy": "subject", "column": "source", "max_relations": 2},
             ],
         }
         chunk_dir = os.path.join(workdir, "chunks")
         stage_chunks(stream_pdf, chunk_dir, n_chunks=3)
         stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
-        out = compose_streams(
-            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
-        ).run_until_drained()
+        comp = compose_streams(
+            stream,
+            stages_from_spec(spec),
+            os.path.join(workdir, "compose"),
+            relations=relations_from_spec(spec),
+        )
+        out = comp.run_until_drained()
 
         batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
-        want = build(batch_df, spec).assignments
-        assert assignments_map(out) == assignments_map(want)
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
+        # per-parent rotation tee (max_relations=2 over a 4-value child
+        # column forces rotations inside every parent) + the stage-0
+        # global rotation tee
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                tuple(r["values"] or []),
+                r["created_at_seq"],
+            )
+
+        got = {key(r) for r in comp.read_relations().collect()}
+        want = {key(r) for r in res.relations.collect()}
+        assert got == want and len(got) > 100
 
     def test_kill_resume_matches_batch(self, spark, workdir, stream_pdf):
         chunk_dir = os.path.join(workdir, "chunks")
