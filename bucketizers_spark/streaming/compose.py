@@ -118,7 +118,16 @@ class ComposedStreams:
                     .parquet(data_dir)
                 )
             rel = relations[k] if relations else None
-            if rel is not None:
+            if isinstance(rel, BatchDerivedRelations):
+                def _batch_rel_reader(spark, d=data_dir, r=rel):
+                    if not glob.glob(os.path.join(d, "*.parquet")):
+                        return None
+                    return r.derive(
+                        spark.read.parquet(os.path.join(d, "*.parquet"))
+                    )
+
+                self._rel_readers.append(_batch_rel_reader)
+            elif rel is not None:
                 # RELATION TEE: a second consumer of this stage's staged
                 # files deriving the stage's relation side-output (batch
                 # multi's BucketizeResult.relations analog). Reading the
@@ -199,6 +208,19 @@ class ComposedStreams:
         for part in parts[1:]:
             out = out.unionByName(part, allowMissingColumns=True)
         return out
+
+
+class BatchDerivedRelations:
+    """A relation side-output that is NOT append-monotone — emitting it
+    incrementally would require retractions (e.g. the tumbling child's
+    lead-link chain over observed windows: a late window re-links both
+    neighbors). Instead of a streaming tee, ``derive`` runs as a batch
+    computation over the stage's COMPLETE staged output when
+    ``read_relations()`` is called — exact by construction and
+    resume-safe (the staged files are the source of truth)."""
+
+    def __init__(self, derive):
+        self.derive = derive
 
 
 class TrieStage:
@@ -331,15 +353,28 @@ def stages_from_spec(spec) -> list:
             if win.kind == "sliding"
             else F.window(F.col(col), win.duration)
         )
-        b = F.date_format(w["start"], "yyyy-MM-dd HH:mm:ss")
         if parent:
-            b = F.concat(F.col(parent), F.lit("/"), b)
+            # keep _parent/_wstart: the tumbling child's boundary-chain
+            # relations are lead-links over OBSERVED windows per parent —
+            # not append-monotone, so relations_from_spec derives them at
+            # read time from the staged output (BatchDerivedRelations),
+            # which needs these columns un-parsed
             return (
-                s.withColumnRenamed("bucket_id", parent)
-                .withColumn("bucket_id", b)
-                .drop(parent)
+                s.drop("_parent", "_wstart")
+                .withColumnRenamed("bucket_id", parent)
+                .withColumn("_wstart", w["start"])
+                .withColumn(
+                    "bucket_id",
+                    F.concat(
+                        F.col(parent),
+                        F.lit("/"),
+                        F.date_format("_wstart", "yyyy-MM-dd HH:mm:ss"),
+                    ),
+                )
             )
-        return s.withColumn("bucket_id", b)
+        return s.withColumn(
+            "bucket_id", F.date_format(w["start"], "yyyy-MM-dd HH:mm:ss")
+        )
 
     stages = []
     for k, sub in enumerate(spec.configs):
@@ -448,9 +483,13 @@ def relations_from_spec(spec) -> list:
       ``parent_col`` — dedicated counter state per parent, root names
       collapsing onto the parent like operators/multi.
       subject_within_parent).
+    - child ``time`` (tumbling): BatchDerivedRelations — the boundary
+      chain between observed windows per parent, computed over the
+      staged output at read time (see BatchDerivedRelations for why it
+      cannot stream).
     - others: None (substring stage-0 relations live in TrieStage's
-      job sink and surface via read_relations(); time-child relation
-      tees are an open gap, SURVEY §10)."""
+      job sink and surface via read_relations(); sliding children have
+      no relations in batch either)."""
     from pyspark.sql import functions as F
 
     from bucketizers_spark.config import spec_from_dict
@@ -507,6 +546,31 @@ def relations_from_spec(spec) -> list:
             )
         )
 
+    def time_child_rels(df):
+        from pyspark.sql import Window
+
+        fmt = "yyyy-MM-dd HH:mm:ss"
+        wins = df.groupBy("_parent", "_wstart").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        nxt = F.lead("_wstart").over(
+            Window.partitionBy("_parent").orderBy("_wstart")
+        )
+        rel_src = wins.withColumn("_next", nxt).where(
+            F.col("_next").isNotNull()
+        )
+        return rel_src.select(
+            *relation_row(
+                F.concat(
+                    F.col("_parent"), F.lit("/"), F.date_format("_wstart", fmt)
+                ),
+                "Relation",
+                F.concat(
+                    F.col("_parent"), F.lit("/"), F.date_format("_next", fmt)
+                ),
+            )
+        )
+
     rels: list = []
     for k, sub in enumerate(spec.configs):
         if k == 0 and sub.strategy == "subject":
@@ -515,6 +579,15 @@ def relations_from_spec(spec) -> list:
             rels.append(lambda s, c=sub: basic_rels(s, c))
         elif k > 0 and sub.strategy == "subject":
             rels.append(lambda s, c=sub: subject_child_rels(s, c))
+        elif (
+            k > 0
+            and sub.strategy == "time"
+            and sub.window.kind == "tumbling"
+        ):
+            # operators/multi.time_within_parent boundary chain; batch-
+            # derived because lead-links over observed windows retract
+            # when a late window lands between two linked ones
+            rels.append(BatchDerivedRelations(time_child_rels))
         else:
             rels.append(None)
     return rels

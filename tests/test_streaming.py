@@ -312,6 +312,57 @@ class TestComposeStreams:
         out = c2.run_until_drained()
         assert assignments_map(out) == self._batch_want(spark, stream_pdf)
 
+    def test_time_child_relations_match_batch(
+        self, spark, workdir, stream_pdf
+    ):
+        """Tumbling time child: assignments stream; the boundary-chain
+        relations derive from the staged output at read time
+        (BatchDerivedRelations) and must equal batch multi."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            relations_from_spec,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "subject", "column": "source"},
+                {
+                    "strategy": "time",
+                    "window": {"kind": "tumbling", "duration": "30 minutes"},
+                },
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=3)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        comp = compose_streams(
+            stream,
+            stages_from_spec(spec),
+            os.path.join(workdir, "compose"),
+            relations=relations_from_spec(spec),
+        )
+        out = comp.run_until_drained()
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                tuple(r["values"] or []),
+                r["created_at_seq"],
+            )
+
+        got = {key(r) for r in comp.read_relations().collect()}
+        want = {key(r) for r in res.relations.collect()}
+        assert got == want and len(got) > 10
+
     def test_relation_tees_match_batch(self, spark, workdir, stream_pdf):
         """Relation tees (relations_from_spec): the composed streaming
         relations — subject rotation/EqualThan from the stage-0 tee plus
