@@ -455,11 +455,99 @@ def stages_from_spec(spec) -> list:
                     return first_seen_tag(tagged)
 
                 stages.append(subj_child)
+            elif sub.strategy == "geospatial":
+                # per-(parent, tile) page counters in ONE stateful op:
+                # non-WKT/pole rows take a 'bucketless' sentinel leaf
+                # through the same keyed pager, which reproduces the
+                # batch child's parent/bucketless-N fallback naming
+                # (operators/multi.geo_within_parent) without a second
+                # stateful operator in the query
+                def geo_child(s, c=sub):
+                    from pyspark.sql import types as T
+                    from pyspark.sql.streaming.state import (
+                        GroupStateTimeout,
+                    )
+
+                    from bucketizers_spark.operators.geospatial import (
+                        tile_array_col,
+                    )
+                    from bucketizers_spark.streaming.geo_stream import (
+                        _PAGER_STATE,
+                        _make_tile_pager_fn,
+                    )
+
+                    work = (
+                        s.drop("_parent", "_wstart", "is_first")
+                        .withColumnRenamed("bucket_id", "_parent")
+                        .withColumn(
+                            "_tiles", tile_array_col(c.column, c.zoom)
+                        )
+                    )
+                    bad = F.exists(
+                        F.col("_tiles"), lambda t: t["y"].isNull()
+                    )
+                    matched = (F.size("_tiles") > 0) & ~bad
+                    payload = [
+                        col for col in work.columns if col != "_tiles"
+                    ]
+                    tiles = (
+                        work.where(matched)
+                        .select(
+                            *payload,
+                            F.posexplode("_tiles").alias("_tpos", "_t"),
+                        )
+                        .withColumn(
+                            "_leaf",
+                            F.concat_ws(
+                                "/",
+                                F.lit(str(c.zoom)),
+                                F.col("_t.x"),
+                                F.col("_t.y"),
+                            ),
+                        )
+                        .drop("_t")
+                    )
+                    fb = (
+                        work.where(~matched)
+                        .drop("_tiles")
+                        .withColumn("_tpos", F.lit(0))
+                        .withColumn("_leaf", F.lit("bucketless"))
+                    )
+                    both = tiles.unionByName(fb)
+                    out_schema = T.StructType(
+                        list(both.schema.fields)
+                        + [
+                            T.StructField("_page", T.LongType()),
+                            T.StructField("is_new_tile", T.BooleanType()),
+                            T.StructField("is_new_page", T.BooleanType()),
+                        ]
+                    )
+                    flagged = both.groupBy(
+                        "_parent", "_leaf"
+                    ).applyInPandasWithState(
+                        _make_tile_pager_fn(c.page_size, "seq"),
+                        outputStructType=out_schema,
+                        stateStructType=_PAGER_STATE,
+                        outputMode="append",
+                        timeoutConf=GroupStateTimeout.NoTimeout,
+                    )
+                    return flagged.withColumn(
+                        "bucket_id",
+                        F.concat(
+                            F.col("_parent"),
+                            F.lit("/"),
+                            F.col("_leaf"),
+                            F.lit("-"),
+                            F.col("_page"),
+                        ),
+                    )
+
+                stages.append(geo_child)
             else:
                 raise NotImplementedError(
                     f"streaming child form for {sub.strategy!r} (batch "
                     "multi supports it; streaming children currently: "
-                    "basic, subject, time)"
+                    "basic, subject, geospatial, time)"
                 )
     return stages
 

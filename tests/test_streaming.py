@@ -312,6 +312,69 @@ class TestComposeStreams:
         out = c2.run_until_drained()
         assert assignments_map(out) == self._batch_want(spark, stream_pdf)
 
+    def test_geo_child_matches_batch(self, spark, workdir, stream_pdf):
+        """Streaming geospatial child: per-(parent, tile) paging with the
+        bucketless sentinel fallback in one stateful op == batch multi
+        [subject, geospatial], including non-WKT rows landing in
+        parent/bucketless-N."""
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "subject", "column": "source"},
+                {
+                    "strategy": "geospatial",
+                    "column": "wkt",
+                    "zoom": 3,
+                    "page_size": 7,
+                },
+            ],
+        }
+
+        def with_wkt(df):
+            lon = (F.col("seq") % 360) - 180 + F.lit(0.5)
+            lat = ((F.col("seq") * 7) % 170) - 85 + F.lit(0.5)
+            wkt = F.concat(
+                F.lit("POINT("), lon, F.lit(" "), lat, F.lit(")")
+            )
+            return df.withColumn(
+                "wkt",
+                F.when(F.col("seq") % 17 == 0, F.lit("not-a-geom"))
+                .otherwise(wkt),
+            )
+
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=3)
+        stream = with_wkt(
+            read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        )
+        out = compose_streams(
+            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
+        ).run_until_drained()
+
+        batch_df = with_wkt(
+            spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        )
+        res = build(batch_df, spec)
+
+        def amap(df):
+            rows = df.select("seq", "bucket_id").collect()
+            out = {}
+            for r in rows:
+                out.setdefault(r.seq, set()).add(r.bucket_id)
+            return out
+
+        got, want = amap(out), amap(res.assignments)
+        assert got == want
+        assert any("/bucketless-" in b for bs in got.values() for b in bs)
+
     def test_time_child_relations_match_batch(
         self, spark, workdir, stream_pdf
     ):
