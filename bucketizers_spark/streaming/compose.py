@@ -313,25 +313,93 @@ class TrieStage:
         return read
 
 
+def _geo_stage(s: DataFrame, c, *, with_parent: bool) -> DataFrame:
+    """Geospatial compose stage — stage-0 (standalone tile naming) or
+    child (parent-prefixed, per-parent counters). Per-(parent?, tile)
+    page counters run in ONE stateful op: non-WKT/pole rows take a
+    'bucketless' sentinel leaf through the same keyed pager, which
+    reproduces the batch fallback naming (``bucketless-N`` standalone —
+    operators/basic.fallback_pager — or ``parent/bucketless-N`` —
+    operators/multi.geo_within_parent) without a second stateful
+    operator in the query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bucketizers_spark.operators.geospatial import tile_array_col
+    from bucketizers_spark.streaming.geo_stream import (
+        _PAGER_STATE,
+        _make_tile_pager_fn,
+    )
+
+    work = s.drop("_parent", "_wstart", "is_first")
+    if with_parent:
+        work = work.withColumnRenamed("bucket_id", "_parent")
+    work = work.withColumn("_tiles", tile_array_col(c.column, c.zoom))
+    bad = F.exists(F.col("_tiles"), lambda t: t["y"].isNull())
+    matched = (F.size("_tiles") > 0) & ~bad
+    payload = [col for col in work.columns if col != "_tiles"]
+    tiles = (
+        work.where(matched)
+        .select(*payload, F.posexplode("_tiles").alias("_tpos", "_t"))
+        .withColumn(
+            "_leaf",
+            F.concat_ws(
+                "/", F.lit(str(c.zoom)), F.col("_t.x"), F.col("_t.y")
+            ),
+        )
+        .drop("_t")
+    )
+    fb = (
+        work.where(~matched)
+        .drop("_tiles")
+        .withColumn("_tpos", F.lit(0))
+        .withColumn("_leaf", F.lit("bucketless"))
+    )
+    both = tiles.unionByName(fb)
+    out_schema = T.StructType(
+        list(both.schema.fields)
+        + [
+            T.StructField("_page", T.LongType()),
+            T.StructField("is_new_tile", T.BooleanType()),
+            T.StructField("is_new_page", T.BooleanType()),
+        ]
+    )
+    keys = ["_parent", "_leaf"] if with_parent else ["_leaf"]
+    flagged = both.groupBy(*keys).applyInPandasWithState(
+        _make_tile_pager_fn(c.page_size, "seq"),
+        outputStructType=out_schema,
+        stateStructType=_PAGER_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    bucket = F.concat(F.col("_leaf"), F.lit("-"), F.col("_page"))
+    if with_parent:
+        bucket = F.concat(F.col("_parent"), F.lit("/"), bucket)
+    return flagged.withColumn("bucket_id", bucket)
+
+
 def stages_from_spec(spec) -> list:
     """Map a validated multi JobSpec onto compose_streams stage
     transforms, where per-stage streaming forms exist:
 
-    - stage 0 ``subject``: stateless bucket + keyed first-seen state
-      (stateful.subject_page_stream)
-    - stage 0 ``time`` (tumbling/sliding): stateless window bucket map
-    - stage 0 ``substring``: TrieStage — the versioned-counter trie
-      cascade as a job stage (see TrieStage)
-    - child ``basic``: per-parent page-counter state
-      (stateful.paged_stream)
-    - child ``time``: stateless ``parent/window-start`` map
+    Stage-0 forms (every strategy): ``basic`` — stateless
+    floor(seq/pageSize) under the dense source-stamped seq;
+    ``subject`` — stateless bucket + keyed first-seen state
+    (stateful.subject_page_stream); ``time`` (tumbling/sliding) —
+    stateless window bucket map; ``substring`` — TrieStage (the
+    versioned-counter trie cascade as a job stage); ``geospatial`` —
+    _geo_stage (per-tile pager with the bucketless sentinel fallback in
+    one stateful op; the standalone GeoStreamJob remains the form with
+    streaming geo RELATIONS).
 
-    ``geospatial`` stage-0 remains manual: GeoStreamJob is TWO queries
-    (tile pager + the applyInPandasWithState fallback pager on the
-    unmatched side-output), which one compose stage cannot host — use
-    GeoStreamJob.start_with_fallback and feed its read_assignments output
-    onward. Per-parent substring/geospatial CHILDREN keep cross-key state
-    per parent; batch multi supports them (pipeline._build_multi)."""
+    Children: ``basic`` (per-parent page-counter state), ``subject``
+    (stateless map + first-seen tags), ``geospatial`` (per-(parent,
+    tile) pager incl. sentinel fallback), ``time`` (stateless
+    ``parent/window-start`` map). Per-parent SUBSTRING children remain
+    batch-only: a per-parent trie needs cross-key versioned counters
+    (the TrieStage/job shape), not per-key state; batch multi supports
+    them (pipeline._build_multi)."""
     from pyspark.sql import functions as F
 
     from bucketizers_spark.config import JobSpec, spec_from_dict
@@ -379,7 +447,21 @@ def stages_from_spec(spec) -> list:
     stages = []
     for k, sub in enumerate(spec.configs):
         if k == 0:
-            if sub.strategy == "subject":
+            if sub.strategy == "basic":
+                # with seq stamped densely at the source the global pager
+                # is the stateless map floor(seq/pageSize) — the
+                # production path (operators/basic._with_rank0 dense_seq;
+                # paged_stream's docstring explains why no keyed-state
+                # form exists)
+                stages.append(
+                    lambda s, c=sub: s.withColumn(
+                        "bucket_id",
+                        F.floor(F.col("seq") / F.lit(c.page_size)).cast(
+                            "string"
+                        ),
+                    )
+                )
+            elif sub.strategy == "subject":
                 stages.append(
                     lambda s, c=sub: subject_page_stream(
                         s, c.column, salt=c.salt
@@ -399,12 +481,18 @@ def stages_from_spec(spec) -> list:
                         root=sub.root,
                     )
                 )
+            elif sub.strategy == "geospatial":
+                # one stateful op incl. the bucketless sentinel fallback
+                # (see _geo_stage) — the standalone GeoStreamJob remains
+                # the form with streaming RELATIONS (versioned root→
+                # column dedup); under compose, geo relations are not
+                # derived
+                stages.append(
+                    lambda s, c=sub: _geo_stage(s, c, with_parent=False)
+                )
             else:
                 raise NotImplementedError(
-                    f"streaming stage-1 form for {sub.strategy!r}: "
-                    "GeoStreamJob is two queries (tile pager + stateful "
-                    "fallback) — start it via start_with_fallback and "
-                    "feed read_assignments onward"
+                    f"streaming stage-1 form for {sub.strategy!r}"
                 )
         else:
             if sub.strategy == "basic":
@@ -456,93 +544,9 @@ def stages_from_spec(spec) -> list:
 
                 stages.append(subj_child)
             elif sub.strategy == "geospatial":
-                # per-(parent, tile) page counters in ONE stateful op:
-                # non-WKT/pole rows take a 'bucketless' sentinel leaf
-                # through the same keyed pager, which reproduces the
-                # batch child's parent/bucketless-N fallback naming
-                # (operators/multi.geo_within_parent) without a second
-                # stateful operator in the query
-                def geo_child(s, c=sub):
-                    from pyspark.sql import types as T
-                    from pyspark.sql.streaming.state import (
-                        GroupStateTimeout,
-                    )
-
-                    from bucketizers_spark.operators.geospatial import (
-                        tile_array_col,
-                    )
-                    from bucketizers_spark.streaming.geo_stream import (
-                        _PAGER_STATE,
-                        _make_tile_pager_fn,
-                    )
-
-                    work = (
-                        s.drop("_parent", "_wstart", "is_first")
-                        .withColumnRenamed("bucket_id", "_parent")
-                        .withColumn(
-                            "_tiles", tile_array_col(c.column, c.zoom)
-                        )
-                    )
-                    bad = F.exists(
-                        F.col("_tiles"), lambda t: t["y"].isNull()
-                    )
-                    matched = (F.size("_tiles") > 0) & ~bad
-                    payload = [
-                        col for col in work.columns if col != "_tiles"
-                    ]
-                    tiles = (
-                        work.where(matched)
-                        .select(
-                            *payload,
-                            F.posexplode("_tiles").alias("_tpos", "_t"),
-                        )
-                        .withColumn(
-                            "_leaf",
-                            F.concat_ws(
-                                "/",
-                                F.lit(str(c.zoom)),
-                                F.col("_t.x"),
-                                F.col("_t.y"),
-                            ),
-                        )
-                        .drop("_t")
-                    )
-                    fb = (
-                        work.where(~matched)
-                        .drop("_tiles")
-                        .withColumn("_tpos", F.lit(0))
-                        .withColumn("_leaf", F.lit("bucketless"))
-                    )
-                    both = tiles.unionByName(fb)
-                    out_schema = T.StructType(
-                        list(both.schema.fields)
-                        + [
-                            T.StructField("_page", T.LongType()),
-                            T.StructField("is_new_tile", T.BooleanType()),
-                            T.StructField("is_new_page", T.BooleanType()),
-                        ]
-                    )
-                    flagged = both.groupBy(
-                        "_parent", "_leaf"
-                    ).applyInPandasWithState(
-                        _make_tile_pager_fn(c.page_size, "seq"),
-                        outputStructType=out_schema,
-                        stateStructType=_PAGER_STATE,
-                        outputMode="append",
-                        timeoutConf=GroupStateTimeout.NoTimeout,
-                    )
-                    return flagged.withColumn(
-                        "bucket_id",
-                        F.concat(
-                            F.col("_parent"),
-                            F.lit("/"),
-                            F.col("_leaf"),
-                            F.lit("-"),
-                            F.col("_page"),
-                        ),
-                    )
-
-                stages.append(geo_child)
+                stages.append(
+                    lambda s, c=sub: _geo_stage(s, c, with_parent=True)
+                )
             else:
                 raise NotImplementedError(
                     f"streaming child form for {sub.strategy!r} (batch "
@@ -659,9 +663,27 @@ def relations_from_spec(spec) -> list:
             )
         )
 
+    def basic_stage0_rels(s, c):
+        # boundary relation with each page's first member (page >= 1):
+        # stateless under dense seq — the page and its first row are
+        # pure functions of seq (operators/basic._boundary_relations)
+        page = F.floor(F.col("seq") / F.lit(c.page_size))
+        return s.where(
+            (F.col("seq") % c.page_size == 0) & (page >= 1)
+        ).select(
+            *relation_row(
+                (page - 1).cast("string"),
+                "Relation",
+                page.cast("string"),
+                seq=F.col("seq"),
+            )
+        )
+
     rels: list = []
     for k, sub in enumerate(spec.configs):
-        if k == 0 and sub.strategy == "subject":
+        if k == 0 and sub.strategy == "basic":
+            rels.append(lambda s, c=sub: basic_stage0_rels(s, c))
+        elif k == 0 and sub.strategy == "subject":
             rels.append(lambda s, c=sub: subject_rels(s, c))
         elif k > 0 and sub.strategy == "basic":
             rels.append(lambda s, c=sub: basic_rels(s, c))

@@ -312,6 +312,117 @@ class TestComposeStreams:
         out = c2.run_until_drained()
         assert assignments_map(out) == self._batch_want(spark, stream_pdf)
 
+    def test_geo_stage0_matches_batch(self, spark, workdir, stream_pdf):
+        """Geospatial STAGE-0 under compose (single stateful op with the
+        bucketless sentinel) + basic child == batch multi
+        [geospatial, basic], incl. non-WKT rows in bucketless-N/…"""
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {
+                    "strategy": "geospatial",
+                    "column": "wkt",
+                    "zoom": 2,
+                    "page_size": 9,
+                },
+                {"strategy": "basic", "page_size": 4},
+            ],
+        }
+
+        def with_wkt(df):
+            lon = (F.col("seq") % 360) - 180 + F.lit(0.5)
+            lat = ((F.col("seq") * 7) % 170) - 85 + F.lit(0.5)
+            wkt = F.concat(
+                F.lit("POINT("), lon, F.lit(" "), lat, F.lit(")")
+            )
+            return df.withColumn(
+                "wkt",
+                F.when(F.col("seq") % 13 == 0, F.lit("oops"))
+                .otherwise(wkt),
+            )
+
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=3)
+        stream = with_wkt(
+            read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        )
+        out = compose_streams(
+            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
+        ).run_until_drained()
+
+        batch_df = with_wkt(
+            spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        )
+        res = build(batch_df, spec)
+
+        def amap(df):
+            rows = df.select("seq", "bucket_id").collect()
+            m = {}
+            for r in rows:
+                m.setdefault(r.seq, set()).add(r.bucket_id)
+            return m
+
+        got, want = amap(out), amap(res.assignments)
+        assert got == want
+        assert any(
+            b.startswith("bucketless-") for bs in got.values() for b in bs
+        )
+
+    def test_basic_stage0_with_relations_matches_batch(
+        self, spark, workdir, stream_pdf
+    ):
+        """Basic STAGE-0 (stateless dense-seq pager) + subject child,
+        with relation tees on both stages == batch multi."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            relations_from_spec,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "basic", "page_size": 100, "dense_seq": True},
+                {"strategy": "subject", "column": "source", "max_relations": 3},
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=3)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        comp = compose_streams(
+            stream,
+            stages_from_spec(spec),
+            os.path.join(workdir, "compose"),
+            relations=relations_from_spec(spec),
+        )
+        out = comp.run_until_drained()
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                tuple(r["values"] or []),
+                r["created_at_seq"],
+            )
+
+        got = {key(r) for r in comp.read_relations().collect()}
+        want = {key(r) for r in res.relations.collect()}
+        assert got == want and len(got) > 20
+
     def test_geo_child_matches_batch(self, spark, workdir, stream_pdf):
         """Streaming geospatial child: per-(parent, tile) paging with the
         bucketless sentinel fallback in one stateful op == batch multi
