@@ -679,12 +679,36 @@ def relations_from_spec(spec) -> list:
             )
         )
 
+    def time_stage0_rels(df):
+        # boundary chain between observed windows: bucket_id IS
+        # date_format(start, "yyyy-MM-dd HH:mm:ss"), which sorts
+        # lexicographically == chronologically, so the chain derives
+        # from the staged output alone (operators/time_window.
+        # tumbling_bucketizer relations; batch-derived for the same
+        # late-window retraction reason as the time child)
+        from pyspark.sql import Window
+
+        wins = df.select("bucket_id").distinct()
+        nxt = F.lead("bucket_id").over(Window.orderBy("bucket_id"))
+        rel_src = wins.withColumn("_next", nxt).where(
+            F.col("_next").isNotNull()
+        )
+        return rel_src.select(
+            *relation_row(F.col("bucket_id"), "Relation", F.col("_next"))
+        )
+
     rels: list = []
     for k, sub in enumerate(spec.configs):
         if k == 0 and sub.strategy == "basic":
             rels.append(lambda s, c=sub: basic_stage0_rels(s, c))
         elif k == 0 and sub.strategy == "subject":
             rels.append(lambda s, c=sub: subject_rels(s, c))
+        elif (
+            k == 0
+            and sub.strategy == "time"
+            and sub.window.kind == "tumbling"
+        ):
+            rels.append(BatchDerivedRelations(time_stage0_rels))
         elif k > 0 and sub.strategy == "basic":
             rels.append(lambda s, c=sub: basic_rels(s, c))
         elif k > 0 and sub.strategy == "subject":

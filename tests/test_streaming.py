@@ -312,6 +312,56 @@ class TestComposeStreams:
         out = c2.run_until_drained()
         assert assignments_map(out) == self._batch_want(spark, stream_pdf)
 
+    def test_time_stage0_with_relations_matches_batch(
+        self, spark, workdir, stream_pdf
+    ):
+        """Tumbling time STAGE-0 (stateless window map, batch-derived
+        boundary chain) + basic child == batch multi [time, basic]."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            relations_from_spec,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {
+                    "strategy": "time",
+                    "window": {"kind": "tumbling", "duration": "20 minutes"},
+                },
+                {"strategy": "basic", "page_size": 25},
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf, chunk_dir, n_chunks=3)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        comp = compose_streams(
+            stream,
+            stages_from_spec(spec),
+            os.path.join(workdir, "compose"),
+            relations=relations_from_spec(spec),
+        )
+        out = comp.run_until_drained()
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                tuple(r["values"] or []),
+                r["created_at_seq"],
+            )
+
+        got = {key(r) for r in comp.read_relations().collect()}
+        want = {key(r) for r in res.relations.collect()}
+        assert got == want and len(got) > 10
+
     def test_geo_stage0_matches_batch(self, spark, workdir, stream_pdf):
         """Geospatial STAGE-0 under compose (single stateful op with the
         bucketless sentinel) + basic child == batch multi
