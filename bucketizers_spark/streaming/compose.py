@@ -567,6 +567,10 @@ def relations_from_spec(spec) -> list:
       Relation per root rotation, reference
       SubjectPageBucketizer.ts:55-72), mapped onto the batch relation
       columns.
+    - stage 0 ``basic``: stateless boundary tee (page and first row are
+      pure functions of the dense seq).
+    - stage 0 ``time`` (tumbling): BatchDerivedRelations over the
+      staged output (bucket ids sort chronologically).
     - child ``basic``: a STATELESS filter — paged_stream stamps
       ``is_page_first``/``rel_from`` on the assignment stream, so the
       per-parent page link (operators/multi.paged_within_parent
