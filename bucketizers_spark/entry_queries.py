@@ -903,9 +903,11 @@ _LSH_BITS = 16
 _LSH_BANDS = 16
 
 
-# the pinned 16×4 driver form delegates to the configurable operator
-# (operators/lsh.py — same seeded ±1 planes, same loop order, so the
-# oracle weight literals and driver hashes are unchanged)
+# the pinned 16-bit × 16-band driver form delegates to the configurable
+# operator (operators/lsh.py — same seeded ±1 planes, same loop order,
+# so the weight-generation contract is unchanged; band-count changes do
+# change driver hashes, and the oracle SQL regenerates its literals from
+# the same seed/loop order so the two stay in lockstep)
 from bucketizers_spark.operators.lsh import (  # noqa: E402
     hyperplanes as _lsh_planes,
     sign_lsh_udf as _sign_lsh_udf,
@@ -965,7 +967,7 @@ FROM dots GROUP BY vec_id, band
 
 
 def q_ann_lsh_recall(spark, sf_dir):
-    """Recall of the 16-bit × 4-band sign-LSH candidate set against exact
+    """Recall of the 16-bit × 16-band sign-LSH candidate set against exact
     brute-force ground truth (VERDICT r2 #6: the emb_near_dup oracle
     implements the same LSH, so that check is self-consistent — this one
     SCORES the LSH). Deterministic 1-in-40 query sample (vec_id % 40 == 0);
@@ -1077,7 +1079,7 @@ GROUP BY CAST(floor(t.c * 20) AS INTEGER)
 
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: candidates pruned to vectors
-    sharing a sign-LSH band bucket (random hyperplanes, 16 bits × 4
+    sharing a sign-LSH band bucket (random hyperplanes, 16 bits × 16
     bands), then exact cosine >= 0.3 — a bucket join, no all-pairs
     product."""
     emb = _t(spark, sf_dir, "embeddings")

@@ -543,8 +543,12 @@ def _run_cascade(
             .agg(F.array_sort(F.flatten(F.collect_list("_cand"))).alias("_merged"))
             .select(
                 parent_col,
+                # strict: when the merged candidate list holds exactly
+                # page_size seqs the true group may be larger (every salt
+                # bucket capped), so take element_at(cap) as the threshold —
+                # identical result in the legitimate all-fit case
                 F.when(
-                    F.size("_merged") <= page_size, F.lit(None).cast("long")
+                    F.size("_merged") < page_size, F.lit(None).cast("long")
                 )
                 .otherwise(F.element_at("_merged", page_size))
                 .alias("_rthr"),
@@ -783,7 +787,9 @@ def _run_cascade(
                     agg_cap <= 0, F.lit(-1)
                 )
                 .when(
-                    agg_cap >= F.size("_merged"),
+                    # strict: size == cap may mean every salt bucket was
+                    # capped; element_at(cap) is still the right threshold
+                    agg_cap > F.size("_merged"),
                     F.lit(None).cast("long"),  # all NTs fit
                 )
                 .otherwise(F.element_at("_merged", agg_cap.cast("int")))

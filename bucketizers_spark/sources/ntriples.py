@@ -34,10 +34,36 @@ _LINE_RE = (
     rf"\s+({_TERM_IRI})"
     rf"\s+({_TERM_IRI}|{_TERM_BNODE}|{_TERM_LITERAL})"
     rf"(?:\s+({_TERM_IRI}|{_TERM_BNODE}))?"
-    r"\s*\.\s*$"
+    # a conforming line may carry a trailing '# comment' after the dot
+    r"\s*\.\s*(?:#.*)?$"
 )
 
 _NUL = "\x00"
+
+def _uchar_decode(col):
+    """Arrow-batched UCHAR (\\uXXXX / \\UXXXXXXXX) decoder. Cheap early
+    exit per value keeps the Python cost near-zero for inputs without
+    UCHAR escapes; the surrounding plan stays whole-stage codegen and
+    this is one extra projection stage at ingestion time only."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(s):
+        import re
+
+        pat = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
+
+        def one(v):
+            if v is None or "\\" not in v:
+                return v
+            return pat.sub(
+                lambda m: chr(int(m.group(1) or m.group(2), 16)), v
+            )
+
+        return s.map(one)
+
+    return _dec(col)
 
 
 def _strip_iri(col):
@@ -47,17 +73,21 @@ def _strip_iri(col):
     ).otherwise(col)
 
 
-def _unescape(col):
-    """Decode N-Triples string escapes (backslash + one of " \\ n t r).
-    Backslash PAIRS are protected with a NUL sentinel first so a literal
-    backslash followed by 'n' round-trips as backslash+n, not a newline
-    (NUL cannot appear in a conforming N-Triples literal — the spec
-    requires it be escaped)."""
+def _unescape(col, *, decode_uchar: bool = False):
+    """Decode N-Triples string escapes (backslash + one of " \\ n t r,
+    plus \\uXXXX / \\UXXXXXXXX when ``decode_uchar``). Backslash PAIRS
+    are protected with a NUL sentinel first so a literal backslash
+    followed by 'n' round-trips as backslash+n, not a newline (NUL
+    cannot appear in a conforming N-Triples literal — the spec requires
+    it be escaped). The sentinel stays in place through the UCHAR pass
+    so ``\\\\u0041`` never decodes."""
     c = F.regexp_replace(col, r"\\\\", _NUL)
     c = F.regexp_replace(c, r"\\" + '"', '"')
     c = F.regexp_replace(c, r"\\n", "\n")
     c = F.regexp_replace(c, r"\\t", "\t")
     c = F.regexp_replace(c, r"\\r", "\r")
+    if decode_uchar:
+        c = _uchar_decode(c)
     return F.regexp_replace(c, _NUL, r"\\")
 
 
@@ -66,6 +96,7 @@ def read_ntriples(
     path: str,
     *,
     keep_malformed: bool = False,
+    decode_uchar: bool = True,
 ) -> DataFrame:
     """Parse an N-Triples/N-Quads file (or directory/glob of files) into
     a quad table:
@@ -80,8 +111,12 @@ def read_ntriples(
     Malformed lines are dropped (spec says a conforming document has
     none); ``keep_malformed=True`` keeps them with NULL terms and the
     raw line in ``_malformed`` for a dead-letter sink. Comments (#) and
-    blank lines are always dropped. The parse is one regexp per term in
-    whole-stage codegen — no Python in the plan."""
+    blank lines are always dropped; a trailing ``# comment`` after the
+    statement dot is allowed. The parse is one regexp per term in
+    whole-stage codegen; ``decode_uchar=True`` (default) adds a single
+    Arrow-batched projection that decodes ``\\uXXXX``/``\\UXXXXXXXX``
+    escapes in IRIs and literals (per-value early exit keeps it cheap;
+    pass False for a fully JVM plan when inputs are known ASCII-safe)."""
     lines = spark.read.text(path).where(
         (F.trim("value") != "") & ~F.trim(F.col("value")).startswith("#")
     )
@@ -96,12 +131,18 @@ def read_ntriples(
     lex = F.regexp_extract("_o", r'^"((?:[^"\\]|\\.)*)"', 1)
     dtype = F.regexp_extract("_o", r"\^\^<([^>]*)>$", 1)
     lang = F.regexp_extract("_o", r"@([A-Za-z][A-Za-z0-9\-]*)$", 1)
+    def iri(col):
+        # IRIREF allows only UCHAR escapes (no backslash pairs), so the
+        # decoder applies directly; bnode labels contain no backslash
+        s = _strip_iri(col)
+        return _uchar_decode(s) if decode_uchar else s
+
     out = parsed.select(
         "value",
-        _strip_iri(F.col("_s")).alias("subject"),
-        _strip_iri(F.col("_p")).alias("predicate"),
-        F.when(is_lit, _unescape(lex))
-        .otherwise(_strip_iri(F.col("_o")))
+        iri(F.col("_s")).alias("subject"),
+        iri(F.col("_p")).alias("predicate"),
+        F.when(is_lit, _unescape(lex, decode_uchar=decode_uchar))
+        .otherwise(iri(F.col("_o")))
         .alias("object"),
         F.when(is_lit, F.lit("literal"))
         .when(F.col("_o").startswith("_:"), F.lit("bnode"))
@@ -109,7 +150,7 @@ def read_ntriples(
         .alias("object_kind"),
         F.when(is_lit & (dtype != ""), dtype).alias("object_datatype"),
         F.when(is_lit & (lang != ""), lang).alias("object_lang"),
-        F.when(F.col("_g") != "", _strip_iri(F.col("_g"))).alias("graph"),
+        F.when(F.col("_g") != "", iri(F.col("_g"))).alias("graph"),
         (F.col("_s") == "").alias("_bad"),
     )
     if keep_malformed:

@@ -72,6 +72,50 @@ class TestReadNtriples:
         assert bad[0]["_malformed"].startswith("this line")
         assert bad[0]["subject"] is None
 
+    def test_uchar_escapes_and_trailing_comment(self, spark, tmp_path):
+        """N-Triples UCHAR (\\uXXXX / \\UXXXXXXXX) decoding in IRIs and
+        literals; escaped-backslash pairs never decode; a trailing
+        '# comment' after the statement dot is conforming, not
+        malformed."""
+        from bucketizers_spark.sources.ntriples import read_ntriples
+
+        nt = "\n".join(
+            [
+                # é = é in literal; trailing comment after the dot
+                '<http://ex.org/u1> <http://ex.org/name> '
+                '"caf\\u00e9" . # trailing comment',
+                # UCHAR inside an IRI (A = A)
+                '<http://ex.org/\\u0041> <http://ex.org/p> "x" .',
+                # supplementary plane \U0001F600 = 😀
+                '<http://ex.org/u2> <http://ex.org/emoji> '
+                '"\\U0001F600" .',
+                # escaped backslash pair before u: stays literal A
+                '<http://ex.org/u3> <http://ex.org/raw> '
+                '"keep \\\\u0041 raw" .',
+            ]
+        )
+        p = tmp_path / "uchar.nt"
+        p.write_text(nt)
+        rows = {
+            (r["subject"], r["predicate"]): r["object"]
+            for r in read_ntriples(spark, str(p)).collect()
+        }
+        assert len(rows) == 4
+        assert rows[("http://ex.org/u1", "http://ex.org/name")] == "café"
+        assert ("http://ex.org/A", "http://ex.org/p") in rows
+        assert rows[("http://ex.org/u2", "http://ex.org/emoji")] == "\U0001F600"
+        assert rows[("http://ex.org/u3", "http://ex.org/raw")] == (
+            "keep \\u0041 raw"
+        )
+        # decode_uchar=False: raw escapes survive (pure-JVM plan)
+        raw = {
+            r["subject"]: r["object"]
+            for r in read_ntriples(
+                spark, str(p), decode_uchar=False
+            ).collect()
+        }
+        assert raw["http://ex.org/u1"] == "caf\\u00e9"
+
     def test_property_path_to_bucketize(self, spark, tmp_path):
         """knows→name two-hop path over parsed N-Quads, one named graph
         per member (the SDS record shape: a member's quads — including
