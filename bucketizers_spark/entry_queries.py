@@ -773,21 +773,50 @@ def q_ngram_jaccard(spark, sf_dir):
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    info = docs.select(
-        "doc_id", "lang", "source", F.array_distinct("_sh").alias("sh")
+    # slim shuffles (VERDICT r3 #6): never carry the full distinct-shingle
+    # arrays through the candidate joins — at 100 TB those are
+    # document-sized shuffle rows. Instead ship (doc_id, lang, source,
+    # |sh|) metadata and compute intersection sizes by exploding distinct
+    # shingles over the candidate set and co-counting: every shuffled row
+    # is ids + one shingle string.
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.array_distinct("_sh")).alias("nsh"),
     )
-    pairs = (
-        cand.join(info.alias("ai"), F.col("a_id") == F.col("ai.doc_id"))
-        .join(info.alias("bi"), F.col("b_id") == F.col("bi.doc_id"))
+    cand = (
+        cand.join(meta.alias("ai"), F.col("a_id") == F.col("ai.doc_id"))
+        .join(meta.alias("bi"), F.col("b_id") == F.col("bi.doc_id"))
         .where(
             (F.col("ai.lang") == F.col("bi.lang"))
             & (F.col("ai.source") == F.col("bi.source"))
         )
+        .select(
+            "a_id",
+            "b_id",
+            F.col("ai.nsh").alias("_nsh_a"),
+            F.col("bi.nsh").alias("_nsh_b"),
+        )
     )
-    inter = F.size(F.array_intersect(F.col("ai.sh"), F.col("bi.sh")))
-    union = F.size(F.col("ai.sh")) + F.size(F.col("bi.sh")) - inter
-    jac = F.round(inter.cast("double") / union, 4)
-    return pairs.select(
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct("_sh")).alias("_shv")
+    )
+    inter_df = (
+        cand.join(ex.alias("ea"), F.col("a_id") == F.col("ea.doc_id"))
+        .join(
+            ex.alias("eb"),
+            (F.col("b_id") == F.col("eb.doc_id"))
+            & (F.col("ea._shv") == F.col("eb._shv")),
+        )
+        .groupBy("a_id", "b_id", "_nsh_a", "_nsh_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    # pairs with zero shared shingles drop out of the co-count; they
+    # could never pass the 0.2 threshold, so the result set is identical
+    union = F.col("_nsh_a") + F.col("_nsh_b") - F.col("_inter")
+    jac = F.round(F.col("_inter").cast("double") / union, 4)
+    return inter_df.select(
         "a_id", "b_id", jac.alias("jaccard_r4")
     ).where(F.col("jaccard_r4") >= 0.2)
 
