@@ -1608,64 +1608,23 @@ def q_ann_ivf(spark, sf_dir):
     directly comparable).
 
     Centroids here are the K lowest-id vectors — DETERMINISTIC so the
-    DuckDB oracle can replay them; a production build trains them with
-    sampled k-means and broadcasts the result, which changes only the
-    centroid frame (the seam is the ``cents`` broadcast below). Cell
-    assignment is one broadcast-join + map-side-combined argmax groupBy
-    (n rows shuffled once); the probe is an equijoin on cell id — never
-    an all-pairs product."""
+    DuckDB oracle can replay them; the production path trains with the
+    seeded sampled-k-means builder (operators/ivf.kmeans_centroids) and
+    changes only the centroid frame. Both paths are measured: the
+    tools/ivf_recall_sweep.py table in BENCH/PLANS.md justifies
+    K=16/nprobe=4 (recall and scan-fraction per config, lowest-id vs
+    trained centroids). Cell assignment is one broadcast-join +
+    map-side-combined argmax groupBy (n rows shuffled once); the probe
+    is an equijoin on cell id — never an all-pairs product. Logic lives
+    in operators/ivf.ivf_topk; this is the pinned driver form."""
+    from bucketizers_spark.operators.ivf import ivf_topk, lowest_id_centroids
+
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
-    )
-    # assign: argmax over K rounded cosines, ties to the smallest c_id
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "c_id",
-        F.round(_cosine(F.col("embedding"), F.col("ce"))
-                , 4).alias("_sim"),
-    )
-    best = F.max(F.struct(F.col("_sim"), (-F.col("c_id")).alias("_nc")))
-    cells = scored.groupBy("vec_id").agg(
-        (-best.getField("_nc")).cast("long").alias("cell")
-    )
-    # probe: NPROBE best cells per query vector (queries: every 100th id)
+    cents = lowest_id_centroids(emb, _IVF_K)
     qs = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    qscored = qs.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        "qe",
-        F.col("c_id").alias("cell"),
-        F.round(_cosine(F.col("qe"), F.col("ce")), 4).alias("_cs"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_cs").desc(), F.col("cell")
-    )
-    probes = (
-        qscored.withColumn("_pr", F.row_number().over(wq))
-        .where(F.col("_pr") <= _IVF_NPROBE)
-        .select("query_id", "qe", "cell")
-    )
-    # rescore inside probed lists only
-    members = cells.join(
-        emb.select("vec_id", "embedding"), "vec_id"
-    )
-    cand = probes.join(members, "cell").where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
-    scored2 = cand.select(
-        "query_id", "vec_id", sim.alias("sim_r4")
-    ).groupBy("query_id", "vec_id").agg(
-        F.max("sim_r4").alias("sim_r4")  # dedup multi-probe hits
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim_r4").desc(), F.col("vec_id")
-    )
-    return scored2.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= 10
-    )
+    return ivf_topk(emb, qs, cents, nprobe=_IVF_NPROBE, topk=10)
 
 
 _SQL_COS = """
