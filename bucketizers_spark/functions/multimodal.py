@@ -2,11 +2,16 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic fake features) is real and tested; the actual codec calls
-(PIL/ffmpeg/torchaudio) are NOT available in this container and are
-isolated behind ``_decode_*`` seams that raise ``NotImplementedError``
-unless ``fake=True`` — the deterministic fake derives features from the
-bytes themselves (sha256-seeded), so pipelines are end-to-end testable.
+deterministic fake features) is real and tested. Two REAL codecs run
+natively here — netpbm PPM (P6/P3) images and PCM WAV audio, both
+stdlib+numpy — so the non-fake path executes end-to-end in this
+container; richer formats (JPEG/MP3/MP4 via PIL/ffmpeg/torchaudio) are
+NOT available and stay isolated behind the same ``_decode_*`` seams,
+raising ``NotImplementedError`` unless ``fake=True`` — the deterministic
+fake derives features from the bytes themselves (sha256-seeded), so
+pipelines are end-to-end testable regardless of codec availability.
+Video has no stdlib container format, so frame sampling remains
+fake-only by environment.
 
 Design notes for 100 TB:
 - binary payloads stay in the executor JVM until the Arrow transfer of the
@@ -51,26 +56,119 @@ def _fake_rng(payload: bytes) -> np.random.Generator:
     return np.random.default_rng(seed)
 
 
+def _ppm_header(data: bytes, ntok: int = 3):
+    """Tokenize a PPM header after the magic: returns (tokens, offset of
+    the first raster byte). Whitespace-separated tokens; '#' comments run
+    to end-of-line; exactly one whitespace byte separates the last header
+    token from the raster (netpbm spec)."""
+    toks: list[bytes] = []
+    i = 2  # past 'P6'/'P3'
+    n = len(data)
+    while len(toks) < ntok:
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if i < n and data[i : i + 1] == b"#":
+            while i < n and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(data[i:j])
+        i = j
+    return toks, i + 1  # one whitespace byte after maxval
+
+
+def _parse_ppm(data: bytes):
+    """Decode netpbm P6 (binary) / P3 (ascii) RGB into an (h, w, 3)
+    float64 array in [0, 1]. Pure stdlib+numpy — the real (non-fake)
+    image path this container can execute end-to-end."""
+    magic = data[:2]
+    (w_b, h_b, mx_b), off = _ppm_header(data)
+    w, h, maxval = int(w_b), int(h_b), int(mx_b)
+    if w <= 0 or h <= 0 or maxval <= 0:
+        raise ValueError("invalid PPM dimensions")
+    if magic == b"P6":
+        if maxval < 256:
+            arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=off)
+        else:
+            arr = np.frombuffer(data, dtype=">u2", count=w * h * 3, offset=off)
+    else:  # P3: ascii sample values
+        vals = data[off - 1 :].split()
+        if len(vals) < w * h * 3:
+            raise ValueError("truncated P3 raster")
+        arr = np.array(vals[: w * h * 3], dtype=np.float64)
+    return arr.astype(np.float64).reshape(h, w, 3) / maxval
+
+
+def _ahash(luma: np.ndarray) -> str:
+    """64-bit average hash over an 8×8 center-sample grid — the standard
+    near-dup image fingerprint, deterministic and resize-free (nearest
+    sample at cell centers, threshold at the grid mean)."""
+    h, w = luma.shape
+    ys = np.minimum(((np.arange(8) + 0.5) * h / 8).astype(int), h - 1)
+    xs = np.minimum(((np.arange(8) + 0.5) * w / 8).astype(int), w - 1)
+    g = luma[np.ix_(ys, xs)]
+    bits = (g > g.mean()).flatten()
+    return f"{int(''.join('1' if b else '0' for b in bits), 2):016x}"
+
+
 def _decode_image(payload: bytes, fake: bool):
-    if not fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; run with "
-            "fake=True or install PIL on the cluster"
-        )
-    rng = _fake_rng(payload)
-    w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
-    return w, h, 3, float(rng.random()), rng.bytes(8).hex()
+    if fake:
+        rng = _fake_rng(payload)
+        w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
+        return w, h, 3, float(rng.random()), rng.bytes(8).hex()
+    if payload[:2] in (b"P6", b"P3"):
+        rgb = _parse_ppm(payload)
+        h, w = rgb.shape[:2]
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        return w, h, 3, float(luma.mean()), _ahash(luma)
+    raise NotImplementedError(
+        "only PPM (P6/P3) decodes natively in this environment; run with "
+        "fake=True or install PIL on the cluster for other formats"
+    )
 
 
 def _decode_audio(payload: bytes, fake: bool):
-    if not fake:
-        raise NotImplementedError(
-            "audio codec not available in this environment; run with "
-            "fake=True or install soundfile/ffmpeg on the cluster"
+    if fake:
+        rng = _fake_rng(payload)
+        return int(rng.integers(100, 60_000)), float(rng.random()), int(
+            rng.integers(0, 10_000)
         )
-    rng = _fake_rng(payload)
-    return int(rng.integers(100, 60_000)), float(rng.random()), int(
-        rng.integers(0, 10_000)
+    if payload[:4] == b"RIFF":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as wv:
+            nch = wv.getnchannels()
+            sw = wv.getsampwidth()
+            fr = wv.getframerate()
+            nf = wv.getnframes()
+            raw = wv.readframes(nf)
+        duration_ms = int(round(nf * 1000 / fr))
+        if sw == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif sw == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif sw == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"unsupported WAV sample width {sw}")
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        zc = (
+            int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            if len(x) > 1
+            else 0
+        )
+        return duration_ms, rms, zc
+    raise NotImplementedError(
+        "only PCM WAV decodes natively in this environment; run with "
+        "fake=True or install soundfile/ffmpeg on the cluster for other "
+        "formats"
     )
 
 

@@ -73,6 +73,95 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             image_features(media, fake=False).collect()
 
+    @staticmethod
+    def _ppm_p6(w, h):
+        """Deterministic gradient P6 with a header comment."""
+        raster = bytes(
+            (x * 7 + y * 13 + c * 29) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        return b"P6\n# test fixture\n%d %d\n255\n" % (w, h) + raster
+
+    @staticmethod
+    def _wav(freq_frames, rate=8000, nch=1):
+        import io
+        import math
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(nch)
+            wv.setsampwidth(2)
+            wv.setframerate(rate)
+            frames = b"".join(
+                int(
+                    32000 * math.sin(2 * math.pi * 440 * i / rate)
+                ).to_bytes(2, "little", signed=True)
+                * nch
+                for i in range(freq_frames)
+            )
+            wv.writeframes(frames)
+        return buf.getvalue()
+
+    def test_real_ppm_image_decode(self, spark):
+        """The non-fake image path end-to-end on stdlib-parsable PPM
+        (VERDICT r3 #7): mean luma and dimensions match a direct numpy
+        computation; P3 ascii and P6 binary of the same raster agree."""
+        import numpy as np
+
+        w, h = 20, 12
+        p6 = self._ppm_p6(w, h)
+        # equivalent P3 (ascii) image
+        raster = p6.split(b"255\n", 1)[1]
+        p3 = (
+            b"P3\n%d %d\n255\n" % (w, h)
+            + " ".join(str(b) for b in raster).encode()
+        )
+        rows = [
+            ("p6", "image", p6, "image/x-portable-pixmap", w, h, None),
+            ("p3", "image", p3, "image/x-portable-pixmap", w, h, None),
+        ]
+        from bucketizers_spark.functions.multimodal import MEDIA_SCHEMA
+
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {
+            r.media_id: r for r in image_features(df, fake=False).collect()
+        }
+        arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3) / 255.0
+        luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+        for mid in ("p6", "p3"):
+            r = got[mid]
+            assert (r.width, r.height, r.n_channels) == (w, h, 3)
+            assert abs(r.mean_luma - float(luma.mean())) < 1e-9
+        assert got["p6"].phash == got["p3"].phash
+        assert len(got["p6"].phash) == 16
+
+    def test_real_wav_audio_decode(self, spark):
+        """Non-fake audio path on stdlib PCM WAV: duration from the
+        frame count, RMS of a 440 Hz sine ~ 1/sqrt(2), zero crossings ~
+        2 * 440 * duration."""
+        from bucketizers_spark.functions.multimodal import MEDIA_SCHEMA
+
+        wav = self._wav(8000)  # 1 s at 8 kHz
+        stereo = self._wav(4000, nch=2)  # 0.5 s stereo
+        df = spark.createDataFrame(
+            [
+                ("a1", "audio", wav, "audio/wav", None, None, None),
+                ("a2", "audio", stereo, "audio/wav", None, None, None),
+            ],
+            MEDIA_SCHEMA,
+        )
+        got = {
+            r.media_id: r for r in audio_features(df, fake=False).collect()
+        }
+        assert got["a1"].duration_ms == 1000
+        assert got["a2"].duration_ms == 500
+        assert abs(got["a1"].rms - 32000 / 32768 / 2**0.5) < 0.01
+        assert abs(got["a1"].zero_crossings - 880) <= 2
+        assert abs(got["a2"].zero_crossings - 440) <= 2
+
 
 class TestTimeWindows:
     def test_tumbling_partitions_members_exactly_once(self, spark):
