@@ -69,8 +69,10 @@ def main() -> None:
     # min-of-N per query: this sandbox shows multi-minute noise windows
     # that inflate identical jobs 5-10x (BENCH/PLANS.md "first-call
     # costs" + BASELINE.md note up to 3.2x run variance); the minimum of
-    # two spaced executions measures the plan, not the box weather.
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    # N spaced executions measures the plan, not the box weather.
+    # Default 5 (VERDICT r3 #3: min-of-2 was too thin to separate plan
+    # regressions from noise — basic_pager read +84% on pure jitter).
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -196,6 +196,8 @@ def trie_within_parent(
     walk_rows_threshold: int = 250_000,
     salt_buckets: int = 0,
     tail_threshold: int = 100_000,
+    node_state: DataFrame | None = None,
+    emit_counter_updates: bool = False,
 ) -> BucketizeResult:
     """Per-parent substring / token-prefix trie child (one dedicated child
     instance per parent bucket, MultiBucketizer.ts:94-96). Child node names
@@ -227,6 +229,11 @@ def trie_within_parent(
     )
 
     spark = df.sparkSession
+    if node_state is not None or emit_counter_updates:
+        # carried counters (the streaming per-parent TrieStage) run on
+        # the cascade — its state plumbing is keyed parent\x00node; the
+        # plain walk path below has no state seam
+        strategy = "cascade"
     if strategy == "auto":
         mx_row = (
             df.groupBy(parent_col)
@@ -252,11 +259,17 @@ def trie_within_parent(
             salt_buckets=salt_buckets,
             tail_threshold=tail_threshold,
             parent_col=parent_col,
+            node_state=node_state,
+            emit_counter_updates=emit_counter_updates,
         )
         assignments = res.assignments
         if out_col != "bucket_id":
             assignments = assignments.withColumnRenamed("bucket_id", out_col)
-        return BucketizeResult(assignments, res.relations, res.seals)
+        out = BucketizeResult(assignments, res.relations, res.seals)
+        out.persisted = getattr(res, "persisted", [])
+        if emit_counter_updates:
+            out.counter_updates = res.counter_updates
+        return out
     chain = (
         _char_chain(value_col, ascii_fast, max_depth)
         if mode == "char"

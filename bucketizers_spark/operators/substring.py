@@ -68,6 +68,14 @@ from bucketizers_spark.operators.core import (
 )
 from bucketizers_spark.functions.normalize import normalize_substring_col
 
+# Separator for per-parent streaming counter keys: parent<US>node. Parent
+# bucket ids may contain '/' (geo tiles, subject pages), so 'parent/node'
+# is not split-safe. The ASCII unit separator \x1f never appears in a
+# bucket or trie-node name (normalizers strip control chars; tile/page
+# names are alnum/dash/slash) AND survives the Arrow pandas transfer —
+# NUL does not (applyInPandas silently drops \x00 from returned strings).
+_PSEP = "\x1f"
+
 
 class _Chain:
     """Callbacks describing a member's candidate-node chain."""
@@ -385,22 +393,21 @@ def _grouped_walk(
         "from_bucket string, vals array<string>, cnt long"
     )
     if parent_col is not None:
-        if state is not None:
-            raise ValueError(
-                "carried node state is unsupported in the per-parent walk; "
-                "compose streaming stages via staged files instead"
-            )
         # sentinel root: root-collapse is detected by name comparison, so
         # the name must be impossible as a trie node ('\x00' never appears
         # in a normalized value or dash-joined token key)
         sentinel = "\x00root"
 
-        def walk_parent(pdf: pd.DataFrame) -> pd.DataFrame:
+        def walk_parent_with(pdf: pd.DataFrame, counters: dict) -> pd.DataFrame:
             parent = str(pdf[parent_col].iloc[0])
-            out = walk_with_counters(pdf, {}, walk_root=sentinel)
-            out = out[out["kind"] != "c"]
-            named = out["bucket_id"].notna()
+            out = walk_with_counters(pdf, counters, walk_root=sentinel)
+            is_c = out["kind"] == "c"
+            # assignments/relations map to parent/name; counter rows use
+            # the unambiguous NUL key (parent ids may themselves contain
+            # '/', so 'parent/node' cannot be split back — see _PSEP)
+            named = out["bucket_id"].notna() & ~is_c
             out.loc[named, "bucket_id"] = parent + "/" + out.loc[named, "bucket_id"]
+            out.loc[is_c, "bucket_id"] = parent + _PSEP + out.loc[is_c, "bucket_id"]
             isrel = out["kind"] == "r"
             out.loc[isrel, "from_bucket"] = [
                 parent if f == sentinel else f"{parent}/{f}"
@@ -408,9 +415,56 @@ def _grouped_walk(
             ]
             return out
 
+        if state is None:
+
+            def walk_parent(pdf: pd.DataFrame) -> pd.DataFrame:
+                return walk_parent_with(pdf, {})
+
+            return (
+                remaining.groupBy(parent_col, chain.node(level).alias("_g"))
+                .applyInPandas(walk_parent, out_schema)
+                .localCheckpoint()
+            )
+
+        # streaming per-parent: carried counters are parent\x00node keys;
+        # split the key and route the node part to its level-L subtrie
+        # group under its parent (parent-root rows — no NUL — are level-0
+        # bookkeeping and never consulted by a walk starting at level L)
+        st = (
+            state.where(F.col("_st_node").contains(_PSEP))
+            .select(
+                F.substring_index("_st_node", _PSEP, 1).alias(parent_col),
+                F.substring_index("_st_node", _PSEP, -1).alias("_np"),
+                "_st_cnt",
+            )
+            .where(chain.node_level_of(F.col("_np")) >= level)
+            .select(
+                parent_col,
+                chain.node_prefix_of(F.col("_np"), level).alias("_g"),
+                F.col("_np").alias("_st_node"),
+                "_st_cnt",
+            )
+        )
+
+        def walk_parent_cogroup(
+            rows_pdf: pd.DataFrame, st_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            if not len(rows_pdf):
+                return pd.DataFrame(
+                    columns=[
+                        seq_col, "bucket_id", "kind", "from_bucket",
+                        "vals", "cnt",
+                    ]
+                )
+            counters = dict(
+                zip(st_pdf["_st_node"], (int(c) for c in st_pdf["_st_cnt"]))
+            )
+            return walk_parent_with(rows_pdf, counters)
+
         return (
             remaining.groupBy(parent_col, chain.node(level).alias("_g"))
-            .applyInPandas(walk_parent, out_schema)
+            .cogroup(st.groupBy(parent_col, "_g"))
+            .applyInPandas(walk_parent_cogroup, out_schema)
             .localCheckpoint()
         )
 
@@ -478,13 +532,13 @@ def _run_cascade(
     ``parent/node`` (mapTerm, ts:123-141). This is the scale path for
     giant low-cardinality parents — no single task ever holds a whole
     parent; the hot (parent, node) pairs are defused by the same salted
-    two-phase placement as the standalone trie. Carried node state is not
-    supported per-parent (compose streaming stages via staged files)."""
+    two-phase placement as the standalone trie. Carried node state
+    composes with ``parent_col`` for the streaming per-parent child
+    (TrieStage under compose_streams): state keys are ``parent\\x00node``
+    (parent ids may contain '/', so the prefixed display name is not
+    split-safe) and the parent root's own counter is keyed by the bare
+    parent id."""
     spark = df.sparkSession
-    if parent_col is not None and (node_state is not None or emit_counter_updates):
-        raise ValueError(
-            "node_state/counter updates are unsupported with parent_col"
-        )
     pcols = [parent_col] if parent_col else []
     # the cascade runs on a SLIM working set — seq + capped chain columns —
     # so per-level shuffles and hot-node sorts never carry the payload;
@@ -538,35 +592,60 @@ def _run_cascade(
                 F.array_sort(F.collect_list(F.col(seq_col))), 1, page_size
             ).alias("_cand")
         )
-        thr_df = (
-            cand.groupBy(parent_col)
-            .agg(F.array_sort(F.flatten(F.collect_list("_cand"))).alias("_merged"))
-            .select(
-                parent_col,
-                # strict: when the merged candidate list holds exactly
-                # page_size seqs the true group may be larger (every salt
-                # bucket capped), so take element_at(cap) as the threshold —
-                # identical result in the legitimate all-fit case
-                F.when(
-                    F.size("_merged") < page_size, F.lit(None).cast("long")
-                )
-                .otherwise(F.element_at("_merged", page_size))
-                .alias("_rthr"),
-            )
+        merged = cand.groupBy(parent_col).agg(
+            F.array_sort(F.flatten(F.collect_list("_cand"))).alias("_merged")
+        )
+        # carried parent-root counters (streaming): keyed by the bare
+        # parent id; an absent row means a fresh (seeded) child root with
+        # full page_size capacity — exactly the batch semantics
+        if state is not None:
+            merged = merged.join(
+                F.broadcast(state),
+                merged[parent_col] == state["_st_node"],
+                "left",
+            ).drop("_st_node")
+        else:
+            merged = merged.withColumn("_st_cnt", F.lit(None).cast("long"))
+        rcap = F.greatest(
+            F.lit(page_size) - F.coalesce(F.col("_st_cnt"), F.lit(0)),
+            F.lit(0),
+        )
+        thr_df = merged.select(
+            parent_col,
+            F.coalesce(F.col("_st_cnt"), F.lit(0)).alias("_rcnt"),
+            rcap.alias("_rcap"),
+            # strict: when the merged candidate list holds exactly rcap
+            # seqs the true group may be larger (every salt bucket
+            # capped), so take element_at(rcap) as the threshold —
+            # identical result in the legitimate all-fit case. rcap <=
+            # page_size always, so 'rcap > size' with a truncated merge
+            # list is impossible (truncation implies size >= page_size).
+            F.when(rcap <= 0, F.lit(None).cast("long"))
+            .when(rcap > F.size("_merged"), F.lit(None).cast("long"))
+            .otherwise(F.element_at("_merged", rcap.cast("int")))
+            .alias("_rthr"),
         )
         # thr_df is one row per distinct parent — broadcast (the cascade
         # path targets few giant parents; high-cardinality parents belong
         # on the per-group walk, where groups are small)
         work = work.join(F.broadcast(thr_df), parent_col, "left").localCheckpoint()
-        placed0 = work.where(
+        placed0_cond = (F.col("_rcap") > 0) & (
             F.col("_rthr").isNull() | (F.col(seq_col) <= F.col("_rthr"))
         )
+        placed0 = work.where(placed0_cond)
         assignment_parts.append(
             placed0.select(seq_col, F.col(parent_col).alias("bucket_id"))
         )
-        remaining = work.where(
-            F.col("_rthr").isNotNull() & (F.col(seq_col) > F.col("_rthr"))
-        ).drop("_rthr")
+        if emit_counter_updates:
+            counter_parts.append(
+                placed0.groupBy(parent_col, "_rcnt")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .select(
+                    F.col(parent_col).alias("node"),
+                    (F.col("_rcnt") + F.col("_n")).alias("cnt"),
+                )
+            )
+        remaining = work.where(~placed0_cond).drop("_rthr", "_rcap", "_rcnt")
         remaining_cnt = remaining.count()
         level = 0
     else:
@@ -678,8 +757,13 @@ def _run_cascade(
             # level; a pathologically hot node lands in one task — use the
             # salted path when that bites.
             if state is not None:
+                lvl_key = (
+                    F.concat(F.col(parent_col), F.lit(_PSEP), F.col("_node"))
+                    if parent_col
+                    else lvl["_node"]
+                )
                 lvl = lvl.join(
-                    F.broadcast(state), lvl["_node"] == state["_st_node"], "left"
+                    F.broadcast(state), lvl_key == state["_st_node"], "left"
                 ).drop("_st_node")
             else:
                 lvl = lvl.withColumn("_st_cnt", F.lit(None).cast("long"))
@@ -759,8 +843,13 @@ def _run_cascade(
                 F.sum("_lnt").alias("_nt_total"),
             )
             if state is not None:
+                pb_key = (
+                    F.concat(F.col(parent_col), F.lit(_PSEP), F.col("_node"))
+                    if parent_col
+                    else phase_b["_node"]
+                )
                 phase_b = phase_b.join(
-                    state, phase_b["_node"] == state["_st_node"], "left"
+                    state, pb_key == state["_st_node"], "left"
                 ).drop("_st_node")
             else:
                 phase_b = phase_b.withColumn(
@@ -852,15 +941,20 @@ def _run_cascade(
         )
         if emit_counter_updates:
             counted = placed_nt | (~exists & is_first & F.col("_terminal"))
+            counter_key = (
+                F.concat(F.col(parent_col), F.lit(_PSEP), F.col("_node"))
+                if parent_col
+                else F.col("_node")
+            )
             counter_parts.append(
-                step.groupBy("_node")
+                step.groupBy(*pcols, "_node")
                 .agg(
                     (
                         F.coalesce(F.max("_st_cnt"), F.lit(0))
                         + F.sum(counted.cast("long"))
                     ).alias("cnt")
                 )
-                .select(F.col("_node").alias("node"), "cnt")
+                .select(counter_key.alias("node"), "cnt")
             )
         drop_cols = [
             c

@@ -5,6 +5,14 @@ streaming query (multi-stateful-operator support covers only time-window
 ops); the supported pattern — which the reference's inherently-streaming
 composition (MultiBucketizer.ts:46-162) maps onto — is stage k writing
 its output as files that stage k+1 consumes as a file-stream source.
+Spark 4.x ``transformWithStateInPandas`` was probed as a single-query
+alternative (tools/tws_probe.py, VERDICT r3 #5) and ruled out twice
+over: its Python worker needs google.protobuf, absent from this runtime
+(every such query crashes, chained or not), and stateful-after-stateful
+chaining is only supported for event-time operators declaring
+``eventTimeColumnName`` (SPARK-49070) — these stages are arrival-order
+machines with no event time, so the staged-file boundary remains the
+correct (and failure-isolating) composition seam.
 SURVEY.md §9 documented the pattern; this module packages it as one API
 so the caller no longer hand-wires writers, schemas, and checkpoints:
 
@@ -38,6 +46,7 @@ import os
 import shutil
 from typing import Callable, Sequence
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -238,6 +247,9 @@ class TrieStage:
     when the batch file already exists, and a crash between sink commit
     and staging is healed on replay by re-staging from the sink."""
 
+    # stage-0 artifact columns a child stage replaces with its own
+    _CHILD_DROPS = ("_parent", "_wstart", "is_first")
+
     def __init__(
         self,
         *,
@@ -246,16 +258,38 @@ class TrieStage:
         page_size: int = 50,
         max_depth: int = 8,
         root: str = "root",
+        within_parent: bool = False,
     ):
         self.mode = mode
         self.value_col = value_col
         self.page_size = page_size
         self.max_depth = max_depth
         self.root = root
+        # child mode (stage k>0): the incoming bucket_id is the parent;
+        # one dedicated trie per parent bucket, node names parent/node,
+        # per-(parent, node) versioned counters (_run_cascade parent_col
+        # + node_state — the TrieStage cross-key shape VERDICT r3 #1)
+        self.within_parent = within_parent
+
+    def _prep_child(self, bdf):
+        drops = [c for c in self._CHILD_DROPS if c in bdf.columns]
+        return bdf.drop(*drops).withColumnRenamed("bucket_id", "_parent")
 
     def output_schema(self, input_schema):
         from pyspark.sql import types as T
 
+        if self.within_parent:
+            fields = []
+            for f in input_schema.fields:
+                if f.name in self._CHILD_DROPS:
+                    continue
+                if f.name == "bucket_id":
+                    fields.append(T.StructField("_parent", f.dataType))
+                else:
+                    fields.append(f)
+            return T.StructType(
+                fields + [T.StructField("bucket_id", T.StringType())]
+            )
         return T.StructType(
             list(input_schema.fields)
             + [T.StructField("bucket_id", T.StringType())]
@@ -273,9 +307,12 @@ class TrieStage:
             page_size=self.page_size,
             max_depth=self.max_depth,
             root=self.root,
+            parent_col="_parent" if self.within_parent else None,
         )
 
         def handler(bdf, batch_id: int) -> None:
+            if self.within_parent:
+                bdf = self._prep_child(bdf)
             job.process_batch(bdf, batch_id)
             final = os.path.join(data_dir, f"batch-{batch_id:09d}.parquet")
             if os.path.exists(final):
@@ -379,6 +416,104 @@ def _geo_stage(s: DataFrame, c, *, with_parent: bool) -> DataFrame:
     return flagged.withColumn("bucket_id", bucket)
 
 
+def _geo_rels_from_staged(df: DataFrame, c, *, with_parent: bool) -> DataFrame:
+    """Relations for a composed geo stage, derived at read time from the
+    stage's COMPLETE staged output (BatchDerivedRelations — VERDICT r3
+    #2). The staged rows carry ``_leaf``/``_page`` (incl. the
+    'bucketless' sentinel), so the exact batch relation set reconstructs
+    without streaming state: column → leaf-page per page (bbox values),
+    root/parent → column once per column with the first tile's bbox
+    (operators/geospatial._relations; operators/multi.geo_within_parent
+    for the parent form), and the fallback pager links for sentinel rows
+    (root → bucketless-N / parent → parent/bucketless-N, every page
+    incl. 0). Why not a streaming tee: the root → column row needs
+    cross-batch dedup (GeoStreamJob keeps a versioned columns table for
+    exactly that); over the complete staged frame a groupBy-min is
+    exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from bucketizers_spark.operators.core import relation_row
+    from bucketizers_spark.operators.geospatial import tile_bbox_wkt
+
+    root = getattr(c, "root", "root") or "root"
+    # the staged child frame already holds the parent in _parent
+    # (_geo_stage renames the incoming bucket_id before paging)
+    pcols = ["_parent"] if with_parent else []
+    matched = df.where(F.col("_leaf") != "bucketless")
+    fb = df.where(F.col("_leaf") == "bucketless")
+
+    @pandas_udf("string")
+    def bbox_of(leaf: pd.Series) -> pd.Series:
+        def one(s: str) -> str:
+            zs, xs, ys = s.split("/")
+            return tile_bbox_wkt(int(xs), int(ys), int(zs))
+
+        return leaf.map(one)
+
+    page_firsts = (
+        matched.groupBy(*pcols, "_leaf", "_page")
+        .agg(F.min("seq").alias("created_at_seq"))
+        .withColumn("bbox", bbox_of(F.col("_leaf")))
+        .withColumn(
+            "_column_raw",
+            F.regexp_replace(F.col("_leaf"), r"/[^/]+$", ""),
+        )
+    )
+    if with_parent:
+        column = F.concat(F.col("_parent"), F.lit("/"), F.col("_column_raw"))
+        page_bucket = F.concat(
+            F.col("_parent"), F.lit("/"), F.col("_leaf"),
+            F.lit("-"), F.col("_page"),
+        )
+        fb_from = F.col("_parent")
+        fb_to = F.concat(
+            F.col("_parent"), F.lit("/bucketless-"), F.col("_page")
+        )
+    else:
+        column = F.col("_column_raw")
+        page_bucket = F.concat(F.col("_leaf"), F.lit("-"), F.col("_page"))
+        fb_from = F.lit(root)
+        fb_to = F.concat(F.lit("bucketless-"), F.col("_page"))
+    pf = page_firsts.withColumn("_column", column)
+    column_rels = pf.select(
+        *relation_row(
+            F.col("_column"),
+            "GeospatiallyContains",
+            page_bucket,
+            values=F.array(F.col("bbox")),
+            seq=F.col("created_at_seq"),
+        )
+    )
+    root_from = F.col("_parent") if with_parent else F.lit(root)
+    root_rels = (
+        pf.groupBy(*pcols, "_column")
+        .agg(
+            F.min("created_at_seq").alias("created_at_seq"),
+            F.min_by("bbox", F.col("created_at_seq")).alias("bbox"),
+        )
+        .select(
+            *relation_row(
+                root_from,
+                "GeospatiallyContains",
+                F.col("_column"),
+                values=F.array(F.col("bbox")),
+                seq=F.col("created_at_seq"),
+            )
+        )
+    )
+    fb_rels = (
+        fb.groupBy(*pcols, "_page")
+        .agg(F.min("seq").alias("created_at_seq"))
+        .select(
+            *relation_row(
+                fb_from, "Relation", fb_to, seq=F.col("created_at_seq")
+            )
+        )
+    )
+    return column_rels.unionByName(root_rels).unionByName(fb_rels)
+
+
 def stages_from_spec(spec) -> list:
     """Map a validated multi JobSpec onto compose_streams stage
     transforms, where per-stage streaming forms exist:
@@ -394,12 +529,12 @@ def stages_from_spec(spec) -> list:
     streaming geo RELATIONS).
 
     Children: ``basic`` (per-parent page-counter state), ``subject``
-    (stateless map + first-seen tags), ``geospatial`` (per-(parent,
+    (stateless map + first-seen tags), ``substring`` (TrieStage with
+    ``within_parent`` — the per-parent cascade with versioned
+    parent\\x00node counters; cross-key coordination per level is why
+    this is a job stage, not keyed state), ``geospatial`` (per-(parent,
     tile) pager incl. sentinel fallback), ``time`` (stateless
-    ``parent/window-start`` map). Per-parent SUBSTRING children remain
-    batch-only: a per-parent trie needs cross-key versioned counters
-    (the TrieStage/job shape), not per-key state; batch multi supports
-    them (pipeline._build_multi)."""
+    ``parent/window-start`` map)."""
     from pyspark.sql import functions as F
 
     from bucketizers_spark.config import JobSpec, spec_from_dict
@@ -483,10 +618,11 @@ def stages_from_spec(spec) -> list:
                 )
             elif sub.strategy == "geospatial":
                 # one stateful op incl. the bucketless sentinel fallback
-                # (see _geo_stage) — the standalone GeoStreamJob remains
-                # the form with streaming RELATIONS (versioned root→
-                # column dedup); under compose, geo relations are not
-                # derived
+                # (see _geo_stage); relations derive at read time from
+                # the staged output (relations_from_spec →
+                # _geo_rels_from_staged). The standalone GeoStreamJob
+                # remains the form with LIVE streaming relations
+                # (versioned root→column dedup per batch)
                 stages.append(
                     lambda s, c=sub: _geo_stage(s, c, with_parent=False)
                 )
@@ -547,11 +683,24 @@ def stages_from_spec(spec) -> list:
                 stages.append(
                     lambda s, c=sub: _geo_stage(s, c, with_parent=True)
                 )
+            elif sub.strategy == "substring":
+                # per-parent trie child as a job stage: the cascade with
+                # parent_col + versioned parent\x00node counters — the
+                # cross-key state shape keyed state cannot express
+                stages.append(
+                    TrieStage(
+                        mode="token" if sub.token_mode else "char",
+                        value_col=sub.column or "tokens",
+                        page_size=sub.page_size,
+                        max_depth=sub.max_depth,
+                        within_parent=True,
+                    )
+                )
             else:
                 raise NotImplementedError(
                     f"streaming child form for {sub.strategy!r} (batch "
                     "multi supports it; streaming children currently: "
-                    "basic, subject, geospatial, time)"
+                    "basic, subject, substring, geospatial, time)"
                 )
     return stages
 
@@ -583,9 +732,13 @@ def relations_from_spec(spec) -> list:
       chain between observed windows per parent, computed over the
       staged output at read time (see BatchDerivedRelations for why it
       cannot stream).
-    - others: None (substring stage-0 relations live in TrieStage's
-      job sink and surface via read_relations(); sliding children have
-      no relations in batch either)."""
+    - ``geospatial`` (stage 0 or child): BatchDerivedRelations over the
+      staged flags+leaf columns (_geo_rels_from_staged) — column →
+      leaf-page, root/parent → column (first-tile bbox, deduped exactly
+      over the complete frame), and the bucketless fallback links.
+    - others: None (substring relations — stage 0 or child — live in
+      TrieStage's job sink and surface via read_relations(); sliding
+      children have no relations in batch either)."""
     from pyspark.sql import functions as F
 
     from bucketizers_spark.config import spec_from_dict
@@ -726,6 +879,17 @@ def relations_from_spec(spec) -> list:
             # derived because lead-links over observed windows retract
             # when a late window lands between two linked ones
             rels.append(BatchDerivedRelations(time_child_rels))
+        elif sub.strategy == "geospatial":
+            # composed geo stages: derive column/page/root links from the
+            # staged flags+leaf columns at read time (_geo_rels_from_staged
+            # — the root→column dedup is exact over the complete frame)
+            rels.append(
+                BatchDerivedRelations(
+                    lambda df, c=sub, wp=(k > 0): _geo_rels_from_staged(
+                        df, c, with_parent=wp
+                    )
+                )
+            )
         else:
             rels.append(None)
     return rels

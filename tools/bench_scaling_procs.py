@@ -1,0 +1,299 @@
+"""Process-isolated executor scaling (VERDICT r3 #8): the same engine
+job on a Spark STANDALONE cluster in-sandbox — one master + 8 worker
+JVMs (4 cores / 5g each) — at 2 executors vs 8 executors
+(spark.cores.max 8 vs 32, executor.cores 4). Compared to local[k]
+threads this proxies a real N→4N executor scale-up more closely: real
+executor JVMs with separate heaps, real netty block transfers between
+processes for every shuffle, per-executor Python worker pools.
+
+Same methodology as tools/bench_scaling.py: a shuffle-free pure-JVM
+calibration job measures the hardware ceiling (the box does not have 4x
+of JVM compute to give); engine scaling is reported raw AND normalized
+by that ceiling. Outputs are asserted identical across levels.
+
+Writes/updates the "Process-isolated executor scaling" section of
+BENCH/BASELINE.md (the thread-level harness owns the rest of the file).
+
+Usage: python tools/bench_scaling_procs.py [n_rows] [trials]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+MASTER_URL = "spark://127.0.0.1:7077"
+N_WORKERS = 8
+WORKER_CORES = 4
+LEVELS = (8, 32)  # spark.cores.max → 2 vs 8 executors at 4 cores each
+
+sys.path.insert(0, REPO)
+from tools.bench_scaling import ensure_data  # noqa: E402
+
+ENGINE_WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from bucketizers_spark.plans.session import get_spark
+from pyspark.sql import functions as F
+from bucketizers_spark.operators.substring import token_prefix_trie
+from bucketizers_spark.operators.subject_page import subject_page
+
+total_cores = int(sys.argv[1])
+data = sys.argv[2]
+spark = get_spark(
+    f"scale-procs-{{total_cores}}",
+    cores=total_cores,
+    shuffle_partitions=total_cores,
+    master={master!r},
+    extra_conf={{
+        "spark.cores.max": str(total_cores),
+        "spark.executor.cores": str({wcores}),
+        "spark.executor.memory": "4g",
+        "spark.driver.host": "127.0.0.1",
+        "spark.driver.bindAddress": "127.0.0.1",
+        "spark.executorEnv.PYTHONPATH": {repo!r},
+    }},
+)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(data).repartition(64).persist()
+n_rows = df.count()
+n_tok = df.agg(F.sum("n_tok")).collect()[0][0]
+
+t0 = time.time()
+res = token_prefix_trie(df, "tokens", page_size=200, max_depth=6,
+                        salt_buckets=64, tail_threshold=50_000)
+a1 = res.assignments.count()
+r1 = res.relations.count()
+tum = (df.groupBy(F.window("event_time", "10 minutes")).agg(
+    F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok")).count())
+sp = subject_page(df, "doc_id", salt="s0", max_relations=1000)
+a2 = sp.assignments.count()
+r2 = sp.relations.count()
+dt = time.time() - t0
+print(json.dumps(dict(cores=total_cores, rows=n_rows, tokens=int(n_tok),
+                      secs=dt, rows_per_sec=n_rows/dt,
+                      tokens_per_sec=n_tok/dt,
+                      outputs=[a1, r1, tum, a2, r2])))
+spark.stop()
+"""
+
+CALIB_WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from bucketizers_spark.plans.session import get_spark
+from pyspark.sql import functions as F
+total_cores = int(sys.argv[1])
+spark = get_spark(
+    f"scale-procs-cal-{{total_cores}}",
+    cores=total_cores,
+    shuffle_partitions=total_cores,
+    master={master!r},
+    extra_conf={{
+        "spark.cores.max": str(total_cores),
+        "spark.executor.cores": str({wcores}),
+        "spark.executor.memory": "4g",
+        "spark.driver.host": "127.0.0.1",
+        "spark.driver.bindAddress": "127.0.0.1",
+        "spark.executorEnv.PYTHONPATH": {repo!r},
+    }},
+)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.range(0, 2_000_000, 1, 64).withColumn("s", F.col("id").cast("string"))
+col = F.col("s")
+for _ in range(40):
+    col = F.md5(col)
+t0 = time.time()
+n = df.select(F.length(col).alias("l")).agg(F.sum("l")).collect()[0][0]
+print(json.dumps(dict(cores=total_cores, secs=time.time()-t0, chk=int(n))))
+spark.stop()
+"""
+
+
+def _wait_port(port: int, timeout: float = 60.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=1):
+                return
+        except OSError:
+            time.sleep(0.5)
+    raise TimeoutError(f"port {port} not up after {timeout}s")
+
+
+class Cluster:
+    """One standalone master + N worker JVM processes, torn down on exit."""
+
+    def __init__(self, workdir: str):
+        self.workdir = workdir
+        self.procs: list[subprocess.Popen] = []
+
+    def __enter__(self):
+        os.makedirs(self.workdir, exist_ok=True)
+        env = dict(os.environ)
+        env["SPARK_HOME"] = SPARK_HOME
+        env["PYTHONPATH"] = REPO
+        env["PYSPARK_PYTHON"] = sys.executable
+        env["SPARK_NO_DAEMONIZE"] = "1"
+        spark_class = os.path.join(SPARK_HOME, "bin", "spark-class")
+        self.procs.append(
+            subprocess.Popen(
+                [spark_class, "org.apache.spark.deploy.master.Master",
+                 "--host", "127.0.0.1", "--port", "7077",
+                 "--webui-port", "0"],
+                stdout=open(os.path.join(self.workdir, "master.log"), "w"),
+                stderr=subprocess.STDOUT,
+                env=env,
+            )
+        )
+        _wait_port(7077)
+        for i in range(N_WORKERS):
+            wdir = os.path.join(self.workdir, f"worker{i}")
+            os.makedirs(wdir, exist_ok=True)
+            self.procs.append(
+                subprocess.Popen(
+                    [spark_class, "org.apache.spark.deploy.worker.Worker",
+                     MASTER_URL, "--cores", str(WORKER_CORES),
+                     "--memory", "5g", "--work-dir", wdir,
+                     "--webui-port", "0"],
+                    stdout=open(os.path.join(wdir, "worker.log"), "w"),
+                    stderr=subprocess.STDOUT,
+                    env=env,
+                )
+            )
+        time.sleep(5)  # let workers register
+        return self
+
+    def __exit__(self, *exc):
+        for p in reversed(self.procs):
+            p.terminate()
+        for p in self.procs:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+def run(worker: str, total_cores: int, *args: str) -> dict:
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [sys.executable, "-c",
+         worker.format(repo=REPO, master=MASTER_URL, wcores=WORKER_CORES),
+         str(total_cores), *args],
+        capture_output=True, text=True, check=True, cwd=REPO, env=env,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    import signal
+
+    # a `timeout`-delivered SIGTERM must still tear the cluster down
+    # (Cluster.__exit__ only runs on Python-level unwinding)
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    data = ensure_data(n_rows)
+    eng: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    cal: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    with Cluster(os.path.join(REPO, ".scratch", "standalone")):
+        for t in range(trials):
+            for cores in LEVELS:
+                c = run(CALIB_WORKER, cores)
+                cal[cores].append(c)
+                e = run(ENGINE_WORKER, cores, data)
+                eng[cores].append(e)
+                print(
+                    f"trial {t} cores.max={cores} "
+                    f"({cores // WORKER_CORES} executors): "
+                    f"calib {c['secs']:.1f}s | engine {e['secs']:.1f}s "
+                    f"({e['rows_per_sec']:,.0f} seq/s)",
+                    file=sys.stderr, flush=True,
+                )
+    outs = [r["outputs"] for rs in eng.values() for r in rs]
+    assert all(o == outs[0] for o in outs), ("parallelism changed results!", outs)
+
+    lo, hi = LEVELS
+    best_e = {c: min(rs, key=lambda r: r["secs"]) for c, rs in eng.items()}
+    best_c = {c: min(rs, key=lambda r: r["secs"]) for c, rs in cal.items()}
+    eng_speedup = best_e[lo]["secs"] / best_e[hi]["secs"]
+    cal_speedup = best_c[lo]["secs"] / best_c[hi]["secs"]
+    summary = {
+        "n_rows": n_rows,
+        "trials": trials,
+        "levels": list(LEVELS),
+        "executors": [c // WORKER_CORES for c in LEVELS],
+        "engine_best": {c: round(best_e[c]["secs"], 1) for c in LEVELS},
+        "engine_all_secs": {
+            c: [round(r["secs"], 1) for r in eng[c]] for c in LEVELS
+        },
+        "calib_best": {c: round(best_c[c]["secs"], 1) for c in LEVELS},
+        "calib_all_secs": {
+            c: [round(r["secs"], 1) for r in cal[c]] for c in LEVELS
+        },
+        "seq_per_sec": {c: round(best_e[c]["rows_per_sec"]) for c in LEVELS},
+        "tok_per_sec": {c: round(best_e[c]["tokens_per_sec"]) for c in LEVELS},
+        "engine_speedup": round(eng_speedup, 3),
+        "calibration_speedup_ceiling": round(cal_speedup, 3),
+        "raw_efficiency": round(eng_speedup / (hi / lo), 3),
+        "normalized_efficiency": round(eng_speedup / cal_speedup, 3),
+    }
+    print(json.dumps(summary))
+    write_section(summary)
+
+
+def write_section(s: dict) -> None:
+    lo, hi = s["levels"]
+    ex_lo, ex_hi = s["executors"]
+    sec = f"""## Process-isolated executor scaling (standalone cluster)
+
+Same engine + calibration jobs on an in-sandbox Spark STANDALONE cluster
+— 1 master + {N_WORKERS} worker JVMs ({WORKER_CORES} cores / 5g each) —
+at **{ex_lo} executors vs {ex_hi} executors** (spark.cores.max {lo} vs
+{hi}, executor.cores {WORKER_CORES}; fresh driver JVM per run,
+{s['trials']} interleaved trials, min per level). Unlike local[k]
+threads this exercises real executor processes: separate heaps, netty
+inter-process shuffle transfers, per-executor Python worker pools — the
+closest in-sandbox proxy to the north_rule's N→4N executor criterion.
+
+| | {ex_lo} executors (cores.max {lo}) | {ex_hi} executors (cores.max {hi}) |
+|---|---|---|
+| engine best wall s | {s['engine_best'][lo]:.1f} | {s['engine_best'][hi]:.1f} |
+| sequences/s | {s['seq_per_sec'][lo]:,} | {s['seq_per_sec'][hi]:,} |
+| tokens/s | {s['tok_per_sec'][lo]:,} | {s['tok_per_sec'][hi]:,} |
+| engine all trials (s) | {s['engine_all_secs'][lo]} | {s['engine_all_secs'][hi]} |
+| calibration best wall s | {s['calib_best'][lo]:.1f} | {s['calib_best'][hi]:.1f} |
+| calibration all trials (s) | {s['calib_all_secs'][lo]} | {s['calib_all_secs'][hi]} |
+
+- engine speedup {ex_lo}→{ex_hi} executors: **{s['engine_speedup']:.2f}x**
+- hardware ceiling (calibration) speedup: **{s['calibration_speedup_ceiling']:.2f}x**
+- raw efficiency (speedup / 4): {s['raw_efficiency']:.3f}
+- **normalized efficiency (engine / ceiling): {s['normalized_efficiency']:.3f}**
+
+Reproduce: `python tools/bench_scaling_procs.py {s['n_rows']} {s['trials']}`
+"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path) as fh:
+        text = fh.read()
+    marker = "## Process-isolated executor scaling"
+    if marker in text:
+        text = re.sub(
+            re.escape(marker) + r".*?(?=\n## |\Z)", sec, text, flags=re.S
+        )
+    else:
+        text = text.rstrip() + "\n\n" + sec
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
+if __name__ == "__main__":
+    main()
