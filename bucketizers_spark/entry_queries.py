@@ -1627,6 +1627,27 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, qs, cents, nprobe=_IVF_NPROBE, topk=10)
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """The TRAINED-centroid IVF path under the driver gate: same
+    ivf_topk search as ann_ivf but over seeded sampled-k-means centroids
+    (operators/ivf.kmeans_centroids — md5-ordered bounded sample, spread
+    init, 10 spherical Lloyd iterations; deterministic, no RNG state).
+    Iterative float k-means is not SQL-expressible, so this query has NO
+    oracle_sql entry — the driver records the weaker rows-only check;
+    the recall evidence for this path is tools/ivf_recall_sweep.py →
+    BENCH/PLANS.md (kmeans lifts the pinned K=16/nprobe=4 config
+    0.505→0.575 recall@10 at identical scan cost on the worst-case
+    clusterless fixture)."""
+    from bucketizers_spark.operators.ivf import ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, _IVF_K)
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_topk(emb, qs, cents, nprobe=_IVF_NPROBE, topk=10)
+
+
 _SQL_COS = """
 round(
   list_sum(list_transform(range(1, len({a}) + 1),
@@ -1922,6 +1943,7 @@ QUERIES = {
     "multi_giant_parent_trie": q_multi_giant_parent_trie,
     "dedup_cluster": q_dedup_cluster,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "sample_stratified": q_sample_stratified,
     "corpus_filter": q_corpus_filter,
     "ngram_topk": q_ngram_topk,
