@@ -22,13 +22,18 @@ Scale shape (the part that must survive 100 TB):
   path-graph component of length > max_rounds would come out split, so
   the valve raises by default rather than silently under-merging.
 
-For graphs with giant high-degree components the label-propagation
-round cost is dominated by the hot node's edge fan-in; the
-alternating large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) halves that by rewiring
-edges toward component minima between rounds. Near-dup graphs don't
-need it (bounded doc multiplicity bounds degree), so this module ships
-the simpler form; the seam to swap is this one function.
+For graphs with giant high-degree components or LONG PATHS the
+label-propagation round count (O(diameter)) is the bottleneck;
+``connected_components_star`` implements the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14): each iteration rewires edges toward
+local minima, collapsing components into stars in O(log n) iterations
+INDEPENDENT of diameter, and the rewiring halves hot-node fan-in as it
+goes. Near-dup graphs (bounded doc multiplicity → bounded degree,
+shallow diameter) don't need it — dedup_cluster keeps the simpler
+min-label form — but a 100 TB similarity graph with chained clusters
+or celebrity nodes swaps in the star form at this seam (same contract,
+same output schema; pytest pins them equal).
 """
 
 from __future__ import annotations
@@ -120,4 +125,121 @@ def connected_components(
         labels = labels.union(
             iso.withColumn("component", F.col(node_col))
         )
+    return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_rounds: int = 20,
+    strict: bool = True,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., SoCC'14) — same contract and output as
+    ``connected_components`` but O(log n) iterations independent of
+    component diameter, and hot-node fan-in shrinks as edges rewire to
+    local minima.
+
+    One iteration, expressed as DataFrame ops over the undirected
+    neighbor view (each edge seen from both endpoints):
+
+    - LARGE-STAR: every node u proposes its neighborhood minimum
+      m = min(N(u) ∪ {u}) to each strictly LARGER neighbor — edge set
+      becomes {(v, m(u)) : v ∈ N(u), v > u}. One groupBy(min) + one
+      equijoin, both on node id.
+    - SMALL-STAR: every node u links its not-larger neighbors (and
+      itself) to their minimum — {(v, m≤(u)) : v ∈ N≤(u) ∪ {u}}.
+    - Edges are re-canonicalized (min, max) + distinct each phase;
+      convergence = the canonical edge set reaches a fixpoint (checked
+      with a count + left_anti probe — no collect of data rows). At the
+      fixpoint every component is a star centered at its minimum, so
+      labels read off the edge list directly.
+
+    Scale: every phase is shuffle-on-node-id (AQE-skew-splittable), the
+    frame is localCheckpoint()ed per phase (the iterative-lineage trap),
+    and nothing but two scalar counts per iteration reaches the driver.
+    ``max_rounds`` bounds ITERATIONS (each ~4 shuffles); 20 covers
+    graphs to ~2^20 nodes per component with margin."""
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_rounds):
+        und = e.select(F.col("x").alias("a"), F.col("y").alias("b")).union(
+            e.select(F.col("y").alias("a"), F.col("x").alias("b"))
+        )
+        # ---- large-star
+        mins = und.groupBy("a").agg(F.min("b").alias("_mn"))
+        mins = mins.select("a", F.least("_mn", F.col("a")).alias("m"))
+        large = (
+            und.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+        )
+        e1 = (
+            large.where(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star (over the large-star output)
+        und1 = e1.select(F.col("x").alias("a"), F.col("y").alias("b")).union(
+            e1.select(F.col("y").alias("a"), F.col("x").alias("b"))
+        )
+        smaller = und1.where(F.col("b") < F.col("a"))
+        m2 = smaller.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            smaller.join(m2, "a")
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+            .union(m2.select(F.col("a").alias("x"), F.col("m").alias("y")))
+        )
+        e_new = (
+            small.where(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        same_count = e_new.count() == e.count()
+        if same_count:
+            diff = (
+                e_new.join(e, ["x", "y"], "left_anti").limit(1).count()
+            )
+            if diff == 0:
+                e = e_new
+                converged = True
+                break
+        e = e_new
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_rounds} "
+            "iterations (raise max_rounds)"
+        )
+    # fixpoint: stars centered at component minima — labels read off edges
+    labels = (
+        e.select(F.col("y").alias(node_col), F.col("x").alias("component"))
+        .union(
+            e.select(F.col("x").alias(node_col), F.col("x").alias("component"))
+        )
+        .groupBy(node_col)
+        .agg(F.min("component").alias("component"))
+    )
+    if nodes is not None:
+        iso = nodes.select(F.col(node_col)).distinct().join(
+            labels.select(node_col), node_col, "left_anti"
+        )
+        labels = labels.union(iso.withColumn("component", F.col(node_col)))
     return labels

@@ -1,14 +1,19 @@
 """connected_components (operators/graph.py) — the dedup-cluster
 closure. Cases: multi-component graphs, chains (diameter > 1 round),
 isolated nodes via ``nodes=``, string ids, and the strict
-non-convergence valve."""
+non-convergence valve. connected_components_star (large-star/small-star)
+is pinned equal to the simple form and converges on long paths in
+logarithmic iterations."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from bucketizers_spark.operators.graph import connected_components
+from bucketizers_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 
 
 def _cc(spark, edges, **kw):
@@ -57,3 +62,74 @@ class TestConnectedComponents:
         # decreased), just not the full closure
         got = {r["node"]: r["component"] for r in out.collect()}
         assert all(c <= n for n, c in got.items())
+
+
+class TestConnectedComponentsStar:
+    @staticmethod
+    def _both(spark, edges, **kw):
+        e = spark.createDataFrame(edges, "src long, dst long")
+        simple = {
+            r["node"]: r["component"]
+            for r in connected_components(e, **kw).collect()
+        }
+        star = {
+            r["node"]: r["component"]
+            for r in connected_components_star(e, **kw).collect()
+        }
+        return simple, star
+
+    def test_equals_simple_form(self, spark):
+        edges = [(2, 1), (3, 2), (4, 3), (10, 11), (7, 5), (5, 6), (6, 7)]
+        simple, star = self._both(spark, edges)
+        assert star == simple
+
+    def test_long_path_converges_logarithmically(self, spark):
+        """A 33-node path (diameter 32): label propagation needs 32
+        rounds; the star form must finish within 8 iterations — the
+        O(log n) claim, pinned."""
+        edges = [(i, i + 1) for i in range(32)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(e, max_rounds=8).collect()
+        }
+        assert got == {i: 0 for i in range(33)}
+
+    def test_hot_star_graph(self, spark):
+        """Celebrity node: 0 connected to 1..40 — already a star; one
+        iteration fixpoint, everything labeled 0."""
+        edges = [(0, i) for i in range(1, 41)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(e, max_rounds=3).collect()
+        }
+        assert got == {i: 0 for i in range(41)}
+
+    def test_isolated_nodes_and_random_graph(self, spark):
+        import random
+
+        rng = random.Random(99)
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+        ]
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(70)], "node long"
+        )
+        e = spark.createDataFrame(edges, "src long, dst long")
+        simple = {
+            r["node"]: r["component"]
+            for r in connected_components(e, nodes=nodes).collect()
+        }
+        star = {
+            r["node"]: r["component"]
+            for r in connected_components_star(e, nodes=nodes).collect()
+        }
+        assert star == simple and len(star) == 70
+
+    def test_strict_valve(self, spark):
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(32)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="no fixpoint"):
+            connected_components_star(e, max_rounds=1)

@@ -318,6 +318,45 @@ class TestComposeStreams:
         # the subject stage-0 rotation/EqualThan tee
         assert got == want and len(got) > 10
 
+    def test_three_stage_trie_mid_chain_matches_batch(
+        self, spark, workdir, stream_pdf
+    ):
+        """Composition depth: [subject, substring, basic] — the new
+        per-parent TrieStage in the MIDDLE of a chain, its staged output
+        feeding a basic child pager. Streaming == batch multi build."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "subject", "column": "doc_id"},
+                {
+                    "strategy": "substring",
+                    "column": "tokens",
+                    "token_mode": True,
+                    "page_size": 8,
+                    "max_depth": 4,
+                },
+                {"strategy": "basic", "page_size": 3},
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf.iloc[:1000], chunk_dir, n_chunks=3)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        out = compose_streams(
+            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
+        ).run_until_drained()
+
+        batch_df = spark.createDataFrame(
+            stream_pdf.iloc[:1000], TOKEN_STREAM_SCHEMA
+        )
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
     def test_subject_child_matches_batch(self, spark, workdir, stream_pdf):
         """Streaming subject CHILD (stateless parent/normalized map) ==
         batch multi [subject, subject]."""
