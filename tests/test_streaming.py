@@ -318,6 +318,50 @@ class TestComposeStreams:
         # the subject stage-0 rotation/EqualThan tee
         assert got == want and len(got) > 10
 
+    def test_trie_stage0_with_trie_child_matches_batch(
+        self, spark, workdir, stream_pdf
+    ):
+        """Two JOB stages chained: token-trie stage-0 feeding a
+        char-trie child ([substring, substring]) — both run as
+        versioned-counter TrieStage jobs wired through staged files.
+        Streaming == batch multi."""
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {
+                    "strategy": "substring",
+                    "column": "tokens",
+                    "token_mode": True,
+                    "page_size": 30,
+                    "max_depth": 4,
+                },
+                {
+                    "strategy": "substring",
+                    "column": "doc_id",
+                    "page_size": 5,
+                    "max_depth": 5,
+                },
+            ],
+        }
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(stream_pdf.iloc[:1000], chunk_dir, n_chunks=3)
+        stream = read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+        out = compose_streams(
+            stream, stages_from_spec(spec), os.path.join(workdir, "compose")
+        ).run_until_drained()
+
+        batch_df = spark.createDataFrame(
+            stream_pdf.iloc[:1000], TOKEN_STREAM_SCHEMA
+        )
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
     def test_three_stage_trie_mid_chain_matches_batch(
         self, spark, workdir, stream_pdf
     ):

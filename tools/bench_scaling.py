@@ -235,7 +235,14 @@ verified identical across levels and trials.
 
 Reproduce: `python tools/bench_scaling.py {s['n_rows']} {s['trials']}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # preserve the process-isolated section owned by bench_scaling_procs.py
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "## Process-isolated executor scaling"
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            md = md.rstrip() + "\n\n" + old[old.index(marker):]
+    with open(path, "w") as fh:
         fh.write(md)
 
 
