@@ -38,6 +38,8 @@ HEADLINE = [
     "ngram_topk",
     "text_quality",
     "doc_fingerprint",
+    "doc_repetition",
+    "tfidf_terms",
 ]
 
 

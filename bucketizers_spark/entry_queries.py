@@ -1278,6 +1278,133 @@ FROM documents WHERE length(text) >= 4
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Intra-document repetition metrics — the training-data quality
+    signal that catches boilerplate/looped generations: distinct-word
+    ratio, the most frequent word's share, and the duplicated-bigram
+    fraction. Pure narrow map (JVM array expressions, zero shuffles —
+    the per-word counting is an in-array fold over the doc's own words,
+    bounded by doc length, never a corpus aggregation)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(words)).cast("double") / nw, 4
+    )
+    # max count of any single word: for each distinct word, count its
+    # occurrences in the doc's own word array (O(u·n) per doc; docs are
+    # bounded) — stays whole-stage codegen
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    top_share = F.round(top_cnt.cast("double") / nw, 4)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), nw - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    dup_bigram_ratio = F.round(
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast("double")
+        / F.size(bigrams),
+        4,
+    )
+    return docs.where(nw >= 2).select(
+        "doc_id",
+        nw.alias("n_words"),
+        distinct_ratio.alias("distinct_word_ratio_r4"),
+        top_share.alias("top_word_share_r4"),
+        dup_bigram_ratio.alias("dup_bigram_ratio_r4"),
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+         list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM w WHERE len(ws) >= 2
+)
+SELECT doc_id,
+       nw AS n_words,
+       round(CAST(len(list_distinct(ws)) AS DOUBLE) / nw, 4)
+         AS distinct_word_ratio_r4,
+       round(CAST(list_max(list_transform(list_distinct(ws),
+               x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE) / nw, 4)
+         AS top_word_share_r4,
+       round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+         AS dup_bigram_ratio_r4
+FROM m
+"""
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per source corpus: tf = term occurrences in
+    the source's concatenated text, idf = ln(n_sources / sources
+    containing the term). The shape 100 TB needs: explode + one
+    map-side-combined groupBy per aggregation level, a broadcast of the
+    (tiny) per-term document frequencies, and a per-source top-k window
+    over the slim (source, term, score) frame — no global sort, no
+    driver-side loops."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(
+        F.countDistinct("source").alias("df")
+    )
+    n_sources = docs.select("source").distinct().count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_sources)) / F.col("df")),
+            4,
+        ).alias("tfidf_r4"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf_r4").desc(), F.col("term")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 5
+    )
+
+
+SQL_TFIDF_TERMS = """
+WITH terms AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT source, term, count(*) AS tf FROM terms
+  WHERE term <> '' GROUP BY source, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY term
+),
+ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.term,
+         round(tf.tf * ln(CAST(ns.n AS DOUBLE) / dfreq.df), 4) AS tfidf_r4
+  FROM tf JOIN dfreq USING (term) CROSS JOIN ns
+)
+SELECT source, term, tfidf_r4, rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY tfidf_r4 DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # S2 substring / token tries — with generated DuckDB oracles.
 #
@@ -1936,6 +2063,8 @@ QUERIES = {
     "lang_guess": q_lang_guess,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_repetition": q_doc_repetition,
+    "tfidf_terms": q_tfidf_terms,
     "substring_trie": q_substring_trie,
     "substring_trie_relations": q_substring_trie_relations,
     "token_prefix_trie": q_token_prefix_trie,
@@ -1978,6 +2107,8 @@ ORACLES = {
     "lang_guess": SQL_LANG_GUESS,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_repetition": SQL_DOC_REPETITION,
+    "tfidf_terms": SQL_TFIDF_TERMS,
     "substring_trie": SQL_SUBSTRING_TRIE,
     "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,

@@ -33,6 +33,8 @@ SUBSET = [
     "ngram_topk",
     "property_path",
     "text_quality",
+    "doc_repetition",
+    "tfidf_terms",
 ]
 
 
