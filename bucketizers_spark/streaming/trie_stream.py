@@ -45,6 +45,8 @@ class TrieStreamJob:
         max_depth: int = 8,
         root: str = "root",
         parent_col: str | None = None,
+        salt_buckets: int = 0,
+        tail_threshold: int = 100_000,
     ):
         self.sink = IdempotentParquetSink(sink_root)
         self.rel_sink = IdempotentParquetSink(os.path.join(sink_root, "_relations"))
@@ -58,6 +60,11 @@ class TrieStreamJob:
         # streaming): one dedicated trie instance per parent bucket,
         # counters keyed parent\x00node (operators/substring._PSEP)
         self.parent_col = parent_col
+        # salted-cascade knobs (operators/substring._run_cascade): a
+        # zipf-hot leading token otherwise serializes each micro-batch's
+        # level on one window task — same defusal as batch
+        self.salt_buckets = salt_buckets
+        self.tail_threshold = tail_threshold
         os.makedirs(os.path.join(state_dir, "counters"), exist_ok=True)
 
     # -- counter versions ---------------------------------------------------
@@ -100,6 +107,8 @@ class TrieStreamJob:
                 seq_col="seq",
                 node_state=state,
                 emit_counter_updates=True,
+                salt_buckets=self.salt_buckets,
+                tail_threshold=self.tail_threshold,
             )
         else:
             kwargs = dict(
@@ -109,6 +118,8 @@ class TrieStreamJob:
                 max_depth=self.max_depth,
                 node_state=state,
                 emit_counter_updates=True,
+                salt_buckets=self.salt_buckets,
+                tail_threshold=self.tail_threshold,
             )
             if self.mode == "token":
                 res = token_prefix_trie(batch_df, self.value_col, **kwargs)

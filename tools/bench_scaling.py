@@ -235,13 +235,18 @@ verified identical across levels and trials.
 
 Reproduce: `python tools/bench_scaling.py {s['n_rows']} {s['trials']}`
 """
-    # preserve the process-isolated section owned by bench_scaling_procs.py
+    # preserve the sections owned by the other harnesses
+    # (bench_streaming.py, bench_scaling_procs.py)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    marker = "## Process-isolated executor scaling"
+    markers = (
+        "## Streaming end-to-end throughput",
+        "## Process-isolated executor scaling",
+    )
     if os.path.exists(path):
         old = open(path).read()
-        if marker in old:
-            md = md.rstrip() + "\n\n" + old[old.index(marker):]
+        idxs = [old.index(m) for m in markers if m in old]
+        if idxs:
+            md = md.rstrip() + "\n\n" + old[min(idxs):]
     with open(path, "w") as fh:
         fh.write(md)
 
