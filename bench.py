@@ -68,27 +68,42 @@ def main() -> None:
         "g"
     ).applyInPandas(_warm, "id long, g long").count()
 
-    # min-of-N per query: this sandbox shows multi-minute noise windows
-    # that inflate identical jobs 5-10x (BENCH/PLANS.md "first-call
-    # costs" + BASELINE.md note up to 3.2x run variance); the minimum of
-    # N spaced executions measures the plan, not the box weather.
-    # Default 5 (VERDICT r3 #3: min-of-2 was too thin to separate plan
-    # regressions from noise — basic_pager read +84% on pure jitter).
+    # min-of-N per query, trials INTERLEAVED round-robin across queries:
+    # this sandbox shows multi-minute noise windows that inflate identical
+    # jobs 5-10x (BENCH/PLANS.md "first-call costs" + BASELINE.md note up
+    # to 3.2x run variance). Back-to-back trials of one query all land
+    # inside the same window, defeating min-of-N for whole queries at a
+    # time (VERDICT r4 #1: four *consecutive* queries regressed +90-300%
+    # with unchanged plans). Running the full HEADLINE list N times and
+    # taking the per-query minimum spaces each query's trials ~minutes
+    # apart, so a noise window has to persist across the whole sweep to
+    # survive the min. Default 5 trials (VERDICT r3 #3: min-of-2 was too
+    # thin — basic_pager read +84% on pure jitter).
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best, n = None, 0
-        for _ in range(max(trials, 1)):
+    rows: dict[str, int] = {}
+    for t in range(max(trials, 1)):
+        for name in HEADLINE:
+            fn = QUERIES[name]
             t0 = time.time()
             df = fn(spark, SF_DIR)
-            n = df.count()
+            rows[name] = df.count()
             dt = round(time.time() - t0, 3)
-            best = dt if best is None else min(best, dt)
-        timings[name] = best
-        total += best
-        print(f"# {name}: {n} rows in {best}s (best of {trials})", file=sys.stderr)
+            prev = timings.get(name)
+            timings[name] = dt if prev is None else min(prev, dt)
+        print(
+            f"# sweep {t + 1}/{trials} done: "
+            f"{round(sum(timings.values()), 3)}s running min-total",
+            file=sys.stderr,
+        )
+    total = 0.0
+    for name in HEADLINE:
+        total += timings[name]
+        print(
+            f"# {name}: {rows[name]} rows in {timings[name]}s "
+            f"(best of {trials} interleaved)",
+            file=sys.stderr,
+        )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
