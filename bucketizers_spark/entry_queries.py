@@ -1759,12 +1759,14 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     ivf_topk search as ann_ivf but over seeded sampled-k-means centroids
     (operators/ivf.kmeans_centroids — md5-ordered bounded sample, spread
     init, 10 spherical Lloyd iterations; deterministic, no RNG state).
-    Iterative float k-means is not SQL-expressible, so this query has NO
-    oracle_sql entry — the driver records the weaker rows-only check;
-    the recall evidence for this path is tools/ivf_recall_sweep.py →
-    BENCH/PLANS.md (kmeans lifts the pinned K=16/nprobe=4 config
-    0.505→0.575 recall@10 at identical scan cost on the worst-case
-    clusterless fixture)."""
+    Because the training is deterministic with a FIXED iteration count,
+    the DuckDB oracle replays it exactly as 10 unrolled Lloyd CTE stages
+    (assign-by-max-dot → per-cell mean → renormalize; _sql_kmeans_ctes)
+    — max |Δcentroid| vs numpy measured at 2.2e-16, then the shared IVF
+    probe-search SQL runs over the replayed centroids. Recall evidence:
+    tools/ivf_recall_sweep.py → BENCH/PLANS.md (kmeans lifts the pinned
+    K=16/nprobe=4 config 0.505→0.575 recall@10 at identical scan cost on
+    the worst-case clusterless fixture)."""
     from bucketizers_spark.operators.ivf import ivf_topk, kmeans_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1783,10 +1785,10 @@ round(
      * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
   4)"""
 
-SQL_ANN_IVF = f"""
-WITH cents AS (
-  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
-),
+# the IVF probe-search body, shared by both centroid oracles: it reads a
+# `cents(c_id, ce)` CTE defined by the caller (lowest-id vectors for
+# SQL_ANN_IVF; the unrolled-Lloyd trained frame for SQL_ANN_IVF_KMEANS).
+_SQL_IVF_SEARCH = f"""
 scored AS (
   SELECT e.vec_id, c.c_id,
          {_SQL_COS.format(a='e.embedding', b='c.ce')} AS s
@@ -1828,6 +1830,82 @@ SELECT query_id, vec_id, sim_r4, rk FROM (
                                ORDER BY sim_r4 DESC, vec_id) AS rk
   FROM cand
 ) WHERE rk <= 10
+"""
+
+SQL_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
+),
+{_SQL_IVF_SEARCH}
+"""
+
+
+def _sql_kmeans_ctes(k: int, iters: int, sample_n: int) -> str:
+    """Replay operators/ivf.kmeans_centroids verbatim as unrolled-Lloyd
+    DuckDB CTEs, ending in a ``cents(c_id, ce)`` CTE.
+
+    The numpy training is deterministic end to end (md5-ordered bounded
+    sample, spread init, fixed iteration count, keep-previous empty-cell
+    rule, argmax ties to the smallest centroid id), so a fixed number of
+    assign → per-cell-mean → renormalize stages reproduces it exactly —
+    measured max |Δcentroid| vs numpy is 2.2e-16 on the sf0.01 fixture.
+    ``AS MATERIALIZED`` is required: each stage references its
+    predecessor twice (assignment + carry-forward), and inlined CTEs
+    would re-evaluate the chain 2^iters times."""
+    dot = (
+        "list_sum(list_transform(range(1, len(sn.v) + 1),"
+        " i -> sn.v[i] * c.ce[i]))"
+    )
+    ctes = [
+        f"""s0 AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+  FROM embeddings QUALIFY rn < {sample_n}
+)""",
+        """sn AS MATERIALIZED (
+  SELECT rn,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           greatest(sqrt(list_sum(list_transform(embedding,
+             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 1e-12)) AS v
+  FROM s0
+)""",
+        f"""stp AS (SELECT greatest(count(*) // {k}, 1) AS step FROM sn)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(rn // step AS BIGINT) AS c_id, v AS ce
+  FROM sn, stp WHERE rn % step = 0 AND rn // step < {k}
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+  SELECT rn, v, c_id FROM (
+    SELECT sn.rn, sn.v, c.c_id,
+           row_number() OVER (PARTITION BY sn.rn ORDER BY {dot} DESC, c.c_id) AS rk
+    FROM sn CROSS JOIN c{i - 1} c
+  ) WHERE rk = 1
+)""")
+        ctes.append(f"""m{i} AS MATERIALIZED (
+  SELECT c_id, list(sm ORDER BY idx) AS csum, sqrt(sum(sm * sm)) AS nrm
+  FROM (
+    SELECT c_id, idx, sum(el) AS sm
+    FROM (SELECT c_id, generate_subscripts(v, 1) AS idx, unnest(v) AS el
+          FROM a{i}) u
+    GROUP BY c_id, idx
+  ) GROUP BY c_id
+)""")
+        ctes.append(f"""c{i} AS MATERIALIZED (
+  SELECT p.c_id,
+         CASE WHEN m.c_id IS NOT NULL AND m.nrm > 1e-12
+              THEN list_transform(m.csum, x -> x / m.nrm)
+              ELSE p.ce END AS ce
+  FROM c{i - 1} p LEFT JOIN m{i} m USING (c_id)
+)""")
+    ctes.append(f"cents AS MATERIALIZED (SELECT c_id, ce FROM c{iters})")
+    return ",\n".join(ctes)
+
+
+SQL_ANN_IVF_KMEANS = f"""
+WITH {_sql_kmeans_ctes(_IVF_K, 10, 4096)},
+{_SQL_IVF_SEARCH}
 """
 
 
@@ -2116,6 +2194,7 @@ ORACLES = {
     "multi_giant_parent_trie": SQL_MULTI_GIANT_PARENT_TRIE,
     "dedup_cluster": SQL_DEDUP_CLUSTER,
     "ann_ivf": SQL_ANN_IVF,
+    "ann_ivf_kmeans": SQL_ANN_IVF_KMEANS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_filter": SQL_CORPUS_FILTER,
     "ngram_topk": SQL_NGRAM_TOPK,

@@ -28,6 +28,7 @@ SUBSET = [
     "dedup_cluster",
     "ann_topk",
     "ann_ivf",
+    "ann_ivf_kmeans",
     "sample_stratified",
     "corpus_filter",
     "ngram_topk",
