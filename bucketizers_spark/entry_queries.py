@@ -1348,10 +1348,16 @@ def q_tfidf_terms(spark, sf_dir):
     """Top-5 TF-IDF terms per source corpus: tf = term occurrences in
     the source's concatenated text, idf = ln(n_sources / sources
     containing the term). The shape 100 TB needs: explode + one
-    map-side-combined groupBy per aggregation level, a broadcast of the
-    (tiny) per-term document frequencies, and a per-source top-k window
-    over the slim (source, term, score) frame — no global sort, no
-    driver-side loops."""
+    map-side-combined groupBy per aggregation level, an UNHINTED join of
+    tf against the per-term document frequencies, and a per-source top-k
+    window over the slim (source, term, score) frame — no global sort,
+    no driver-side loops. The df frame is deliberately not broadcast:
+    its cardinality is the corpus vocabulary, which at web scale runs to
+    billions of distinct tokens — far past broadcast limits. AQE decides
+    at runtime: a small measured vocabulary still becomes a broadcast
+    join (the sf0.1 plan confirms BroadcastHashJoin via AQE), while a
+    web-scale vocabulary falls back to a sort-merge/hash join on `term`
+    instead of an executor OOM."""
     docs = _t(spark, sf_dir, "documents")
     terms = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -1363,7 +1369,7 @@ def q_tfidf_terms(spark, sf_dir):
         F.countDistinct("source").alias("df")
     )
     n_sources = docs.select("source").distinct().count()
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(df_, "term").select(
         "source",
         "term",
         F.round(

@@ -231,7 +231,7 @@ def trie_within_parent(
     spark = df.sparkSession
     if node_state is not None or emit_counter_updates:
         # carried counters (the streaming per-parent TrieStage) run on
-        # the cascade — its state plumbing is keyed parent\x00node; the
+        # the cascade — its state plumbing is keyed parent\x1fnode (_PSEP); the
         # plain walk path below has no state seam
         strategy = "cascade"
     if strategy == "auto":

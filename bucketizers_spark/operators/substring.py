@@ -403,7 +403,7 @@ def _grouped_walk(
             out = walk_with_counters(pdf, counters, walk_root=sentinel)
             is_c = out["kind"] == "c"
             # assignments/relations map to parent/name; counter rows use
-            # the unambiguous NUL key (parent ids may themselves contain
+            # the unambiguous \x1f (_PSEP) key (parent ids may themselves contain
             # '/', so 'parent/node' cannot be split back — see _PSEP)
             named = out["bucket_id"].notna() & ~is_c
             out.loc[named, "bucket_id"] = parent + "/" + out.loc[named, "bucket_id"]
@@ -426,9 +426,9 @@ def _grouped_walk(
                 .localCheckpoint()
             )
 
-        # streaming per-parent: carried counters are parent\x00node keys;
-        # split the key and route the node part to its level-L subtrie
-        # group under its parent (parent-root rows — no NUL — are level-0
+        # streaming per-parent: carried counters are parent\x1fnode (_PSEP)
+        # keys; split the key and route the node part to its level-L subtrie
+        # group under its parent (parent-root rows — no _PSEP — are level-0
         # bookkeeping and never consulted by a walk starting at level L)
         st = (
             state.where(F.col("_st_node").contains(_PSEP))
@@ -534,7 +534,7 @@ def _run_cascade(
     parent; the hot (parent, node) pairs are defused by the same salted
     two-phase placement as the standalone trie. Carried node state
     composes with ``parent_col`` for the streaming per-parent child
-    (TrieStage under compose_streams): state keys are ``parent\\x00node``
+    (TrieStage under compose_streams): state keys are ``parent\\x1fnode``
     (parent ids may contain '/', so the prefixed display name is not
     split-safe) and the parent root's own counter is keyed by the bare
     parent id."""

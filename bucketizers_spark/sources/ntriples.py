@@ -38,13 +38,27 @@ _LINE_RE = (
     r"\s*\.\s*(?:#.*)?$"
 )
 
-_NUL = "\x00"
+# Sentinel for the pure-JVM unescape chain. \x1f (unit separator), not
+# NUL: Arrow string transfer on the Python-UDF paths drops \x00, so the
+# engine standardises on \x1f for in-flight separators/sentinels
+# (operators/substring._PSEP does the same). A raw \x1f in a literal is
+# grammar-legal but means the value already violates the "text" contract
+# every downstream operator assumes; the Python unescape path below is
+# sentinel-free and handles such inputs exactly.
+_SEP = "\x1f"
+
 
 def _uchar_decode(col):
     """Arrow-batched UCHAR (\\uXXXX / \\UXXXXXXXX) decoder. Cheap early
     exit per value keeps the Python cost near-zero for inputs without
     UCHAR escapes; the surrounding plan stays whole-stage codegen and
-    this is one extra projection stage at ingestion time only."""
+    this is one extra projection stage at ingestion time only.
+
+    Nonconforming escapes — codepoints past U+10FFFF or in the surrogate
+    range (lone surrogates break Arrow/Parquet UTF-8 serialization) —
+    are left UNDECODED rather than raising, so one bad line cannot crash
+    a 100 TB read; it just carries its raw escape to the dead-letter /
+    downstream filters."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
@@ -54,16 +68,65 @@ def _uchar_decode(col):
 
         pat = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
 
+        def sub(m):
+            cp = int(m.group(1) or m.group(2), 16)
+            if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                return m.group(0)
+            return chr(cp)
+
         def one(v):
             if v is None or "\\" not in v:
                 return v
-            return pat.sub(
-                lambda m: chr(int(m.group(1) or m.group(2), 16)), v
-            )
+            return pat.sub(sub, v)
 
         return s.map(one)
 
     return _dec(col)
+
+
+def _unescape_py(col):
+    """One-pass Arrow-batched literal unescape: ECHAR (\\" \\\\ \\n \\t
+    \\r \\b \\f) and UCHAR in a single left-to-right regex scan — the
+    scan consumes backslash PAIRS as it goes, so ``\\\\u0041`` yields a
+    literal backslash + 'u0041' with no sentinel round-trip at all.
+    UCHAR validation matches _uchar_decode (invalid escapes stay raw);
+    unknown single-char escapes (nonconforming) also stay raw."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _un(s):
+        import re
+
+        pat = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+        echar = {
+            '"': '"',
+            "\\": "\\",
+            "n": "\n",
+            "t": "\t",
+            "r": "\r",
+            "b": "\b",
+            "f": "\f",
+            "'": "'",
+        }
+
+        def sub(m):
+            g = m.group(1)
+            if len(g) > 1:
+                cp = int(g[1:], 16)
+                if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                    return m.group(0)
+                return chr(cp)
+            return echar.get(g, m.group(0))
+
+        def one(v):
+            if v is None or "\\" not in v:
+                return v
+            return pat.sub(sub, v)
+
+        return s.map(one)
+
+    return _un(col)
 
 
 def _strip_iri(col):
@@ -74,21 +137,21 @@ def _strip_iri(col):
 
 
 def _unescape(col, *, decode_uchar: bool = False):
-    """Decode N-Triples string escapes (backslash + one of " \\ n t r,
-    plus \\uXXXX / \\UXXXXXXXX when ``decode_uchar``). Backslash PAIRS
-    are protected with a NUL sentinel first so a literal backslash
-    followed by 'n' round-trips as backslash+n, not a newline (NUL
-    cannot appear in a conforming N-Triples literal — the spec requires
-    it be escaped). The sentinel stays in place through the UCHAR pass
-    so ``\\\\u0041`` never decodes."""
-    c = F.regexp_replace(col, r"\\\\", _NUL)
+    """Decode N-Triples string escapes. With ``decode_uchar`` the whole
+    job runs in _unescape_py — one left-to-right Arrow-batched pass that
+    handles ECHAR + UCHAR + backslash pairs with no sentinel. Without it
+    (the fully-JVM plan), a regexp_replace chain decodes ECHAR only;
+    backslash PAIRS are protected with the \\x1f sentinel first so a
+    literal backslash followed by 'n' round-trips as backslash+n, not a
+    newline."""
+    if decode_uchar:
+        return _unescape_py(col)
+    c = F.regexp_replace(col, r"\\\\", _SEP)
     c = F.regexp_replace(c, r"\\" + '"', '"')
     c = F.regexp_replace(c, r"\\n", "\n")
     c = F.regexp_replace(c, r"\\t", "\t")
     c = F.regexp_replace(c, r"\\r", "\r")
-    if decode_uchar:
-        c = _uchar_decode(c)
-    return F.regexp_replace(c, _NUL, r"\\")
+    return F.regexp_replace(c, _SEP, r"\\")
 
 
 def read_ntriples(

@@ -531,7 +531,7 @@ def stages_from_spec(spec) -> list:
     Children: ``basic`` (per-parent page-counter state), ``subject``
     (stateless map + first-seen tags), ``substring`` (TrieStage with
     ``within_parent`` — the per-parent cascade with versioned
-    parent\\x00node counters; cross-key coordination per level is why
+    parent\\x1fnode (_PSEP) counters; cross-key coordination per level is why
     this is a job stage, not keyed state), ``geospatial`` (per-(parent,
     tile) pager incl. sentinel fallback), ``time`` (stateless
     ``parent/window-start`` map)."""
@@ -685,7 +685,7 @@ def stages_from_spec(spec) -> list:
                 )
             elif sub.strategy == "substring":
                 # per-parent trie child as a job stage: the cascade with
-                # parent_col + versioned parent\x00node counters — the
+                # parent_col + versioned parent\x1fnode (_PSEP) counters — the
                 # cross-key state shape keyed state cannot express
                 stages.append(
                     TrieStage(

@@ -58,7 +58,7 @@ class TrieStreamJob:
         self.root = root
         # per-parent child-trie mode (MultiBucketizer.ts:94-96 under
         # streaming): one dedicated trie instance per parent bucket,
-        # counters keyed parent\x00node (operators/substring._PSEP)
+        # counters keyed parent\x1fnode (operators/substring._PSEP)
         self.parent_col = parent_col
         # salted-cascade knobs (operators/substring._run_cascade): a
         # zipf-hot leading token otherwise serializes each micro-batch's

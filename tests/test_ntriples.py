@@ -116,6 +116,34 @@ class TestReadNtriples:
         }
         assert raw["http://ex.org/u1"] == "caf\\u00e9"
 
+    def test_invalid_uchar_survives(self, spark, tmp_path):
+        """Nonconforming UCHAR escapes — codepoints past U+10FFFF and
+        surrogate-range \\uD800 (a lone surrogate would break
+        Arrow/Parquet UTF-8) — stay raw instead of crashing the read;
+        ECHAR \\b and \\f decode on the Python path (ADVICE r4:
+        _uchar_decode previously chr()'d unvalidated hex)."""
+        from bucketizers_spark.sources.ntriples import read_ntriples
+
+        nt = "\n".join(
+            [
+                '<http://ex.org/b1> <http://ex.org/p> "\\UFFFFFFFF big" .',
+                '<http://ex.org/b2> <http://ex.org/p> "\\uD800 lone" .',
+                '<http://ex.org/b3> <http://ex.org/\\uDFFF> "iri" .',
+                '<http://ex.org/b4> <http://ex.org/p> "a\\bb\\fc" .',
+            ]
+        )
+        p = tmp_path / "bad_uchar.nt"
+        p.write_text(nt)
+        rows = {
+            r["subject"]: (r["predicate"], r["object"])
+            for r in read_ntriples(spark, str(p)).collect()
+        }
+        assert len(rows) == 4
+        assert rows["http://ex.org/b1"][1] == "\\UFFFFFFFF big"
+        assert rows["http://ex.org/b2"][1] == "\\uD800 lone"
+        assert rows["http://ex.org/b3"][0] == "http://ex.org/\\uDFFF"
+        assert rows["http://ex.org/b4"][1] == "a\bb\fc"
+
     def test_property_path_to_bucketize(self, spark, tmp_path):
         """knows→name two-hop path over parsed N-Quads, one named graph
         per member (the SDS record shape: a member's quads — including
