@@ -127,7 +127,27 @@ class ComposedStreams:
                     .parquet(data_dir)
                 )
             rel = relations[k] if relations else None
-            if isinstance(rel, BatchDerivedRelations):
+            if hasattr(rel, "make_rel_handler"):
+                # JOB REL TEE (GeoRelTee protocol): a foreachBatch
+                # consumer of this stage's staged files with its own
+                # versioned state — relations land incrementally in
+                # rels/, so read_relations() never rescans the stage's
+                # complete staged output
+                rel_in = (
+                    self.spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", max_files_per_trigger)
+                    .option("latestFirst", "false")
+                    .parquet(data_dir)
+                )
+                rel_dir = os.path.join(workdir, f"stage{k}", "rels")
+                rel_ckpt = os.path.join(workdir, f"stage{k}", "rels_ckpt")
+                rel_state = os.path.join(workdir, f"stage{k}", "rels_state")
+                os.makedirs(rel_dir, exist_ok=True)
+                self._plans.append(
+                    (rel_in, rel.make_rel_handler(rel_dir, rel_state), rel_ckpt)
+                )
+                self._rel_dirs.append(rel_dir)
+            elif isinstance(rel, BatchDerivedRelations):
                 def _batch_rel_reader(spark, d=data_dir, r=rel):
                     if not glob.glob(os.path.join(d, "*.parquet")):
                         return None
@@ -217,6 +237,172 @@ class ComposedStreams:
         for part in parts[1:]:
             out = out.unionByName(part, allowMissingColumns=True)
         return out
+
+
+class GeoRelTee:
+    """Incremental relation tee for composed geo stages (stage 0 or
+    child): consumes the stage's staged flags+leaf rows as a file stream
+    and emits the relation rows PER MICRO-BATCH instead of rescanning
+    the complete staged output at read time (the r4 BatchDerivedRelations
+    form — at 100 TB that read-time scan is a real per-listing cost).
+
+    Streamability: column → leaf-page and fallback links ride the
+    ``is_new_page`` flag (append-monotone — a page is new exactly once
+    across the stream, the keyed pager guarantees it); the root/parent →
+    column row is the only cross-batch fact, deduped with a VERSIONED
+    emitted-columns table exactly like the standalone GeoStreamJob
+    (geo_stream.py:206-237): state version v=batch_id is written BEFORE
+    the relation batch file, so a crash between the two is healed on
+    checkpoint replay — the recompute reads versions < batch_id and
+    overwrites its own state idempotently. Reference semantics:
+    GeospatialBucketizer.ts:153-184 (column → page per new page, root →
+    column once with the FIRST tile's bbox)."""
+
+    def __init__(self, c, *, with_parent: bool):
+        self.c = c
+        self.with_parent = with_parent
+
+    def _parts(self, df):
+        """(column_rels, root_candidates, fallback_rels) for one
+        micro-batch of staged rows — same naming/bbox/seq construction
+        as the r4 read-time staged derive, but driven by the pager flags so each
+        part is exact without any cross-batch grouping (root candidates
+        still need the anti-join in the handler)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from bucketizers_spark.operators.core import relation_row
+        from bucketizers_spark.operators.geospatial import tile_bbox_wkt
+
+        root = getattr(self.c, "root", "root") or "root"
+        pcols = ["_parent"] if self.with_parent else []
+
+        @pandas_udf("string")
+        def bbox_of(leaf: pd.Series) -> pd.Series:
+            def one(s: str) -> str:
+                zs, xs, ys = s.split("/")
+                return tile_bbox_wkt(int(xs), int(ys), int(zs))
+
+            return leaf.map(one)
+
+        matched = df.where(F.col("_leaf") != "bucketless")
+        fb = df.where(F.col("_leaf") == "bucketless")
+        raw_col = F.regexp_replace(F.col("_leaf"), r"/[^/]+$", "")
+        if self.with_parent:
+            column = F.concat(F.col("_parent"), F.lit("/"), raw_col)
+            page_bucket = F.concat(
+                F.col("_parent"), F.lit("/"), F.col("_leaf"),
+                F.lit("-"), F.col("_page"),
+            )
+            fb_from = F.col("_parent")
+            fb_to = F.concat(
+                F.col("_parent"), F.lit("/bucketless-"), F.col("_page")
+            )
+            root_from = F.col("_parent")
+        else:
+            column = raw_col
+            page_bucket = F.concat(
+                F.col("_leaf"), F.lit("-"), F.col("_page")
+            )
+            fb_from = F.lit(root)
+            fb_to = F.concat(F.lit("bucketless-"), F.col("_page"))
+            root_from = F.lit(root)
+        new_pages = matched.where(F.col("is_new_page")).withColumn(
+            "_bbox", bbox_of(F.col("_leaf"))
+        )
+        column_rels = new_pages.select(
+            *relation_row(
+                column,
+                "GeospatiallyContains",
+                page_bucket,
+                values=F.array(F.col("_bbox")),
+                seq=F.col("seq"),
+            )
+        )
+        root_cands = (
+            matched.where(F.col("is_new_tile"))
+            .withColumn("_column", column)
+            .groupBy(*pcols, "_column")
+            .agg(
+                F.min("seq").alias("created_at_seq"),
+                F.min_by("_leaf", F.col("seq")).alias("_first_leaf"),
+            )
+            .withColumn("_bbox", bbox_of(F.col("_first_leaf")))
+            .select(
+                *relation_row(
+                    root_from,
+                    "GeospatiallyContains",
+                    F.col("_column"),
+                    values=F.array(F.col("_bbox")),
+                    seq=F.col("created_at_seq"),
+                )
+            )
+        )
+        fb_rels = fb.where(F.col("is_new_page")).select(
+            *relation_row(
+                fb_from, "Relation", fb_to, seq=F.col("seq")
+            )
+        )
+        return column_rels, root_cands, fb_rels
+
+    def _emitted(self, spark, state_dir: str, before_batch: int):
+        versions = sorted(
+            int(os.path.basename(p).split("=")[1])
+            for p in glob.glob(os.path.join(state_dir, "columns", "v=*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        )
+        versions = [v for v in versions if v < before_batch]
+        if not versions:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, "columns", f"v={versions[-1]}")
+        )
+
+    def make_rel_handler(self, rel_dir: str, state_dir: str):
+        from pyspark.sql import functions as F
+
+        os.makedirs(os.path.join(state_dir, "columns"), exist_ok=True)
+
+        def handler(bdf, batch_id: int) -> None:
+            final = os.path.join(rel_dir, f"batch-{batch_id:09d}.parquet")
+            if os.path.exists(final):
+                return  # checkpoint replay — already committed
+            spark = bdf.sparkSession
+            bdf = bdf.persist()
+            column_rels, root_cands, fb_rels = self._parts(bdf)
+            emitted = self._emitted(spark, state_dir, batch_id)
+            if emitted is not None:
+                root_rels = root_cands.join(
+                    emitted.withColumnRenamed("column", "to_bucket"),
+                    "to_bucket",
+                    "left_anti",
+                )
+            else:
+                root_rels = root_cands
+            out = (
+                column_rels.unionByName(root_rels).unionByName(fb_rels)
+            ).persist()
+            new_cols = root_rels.select(F.col("to_bucket").alias("column"))
+            all_cols = (
+                new_cols
+                if emitted is None
+                else emitted.unionByName(new_cols).distinct()
+            )
+            # state BEFORE the relation file (cf. GeoStreamJob): a crash
+            # in between replays as a recompute from versions < batch_id
+            all_cols.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "columns", f"v={batch_id}")
+            )
+            tmp = os.path.join(rel_dir, f"_tmp-{batch_id}")
+            out.coalesce(1).write.mode("overwrite").parquet(tmp)
+            parts = glob.glob(os.path.join(tmp, "part-*"))
+            if parts:
+                os.replace(parts[0], final)
+            shutil.rmtree(tmp, ignore_errors=True)
+            out.unpersist()
+            bdf.unpersist()
+
+        return handler
 
 
 class BatchDerivedRelations:
@@ -416,104 +602,6 @@ def _geo_stage(s: DataFrame, c, *, with_parent: bool) -> DataFrame:
     return flagged.withColumn("bucket_id", bucket)
 
 
-def _geo_rels_from_staged(df: DataFrame, c, *, with_parent: bool) -> DataFrame:
-    """Relations for a composed geo stage, derived at read time from the
-    stage's COMPLETE staged output (BatchDerivedRelations — VERDICT r3
-    #2). The staged rows carry ``_leaf``/``_page`` (incl. the
-    'bucketless' sentinel), so the exact batch relation set reconstructs
-    without streaming state: column → leaf-page per page (bbox values),
-    root/parent → column once per column with the first tile's bbox
-    (operators/geospatial._relations; operators/multi.geo_within_parent
-    for the parent form), and the fallback pager links for sentinel rows
-    (root → bucketless-N / parent → parent/bucketless-N, every page
-    incl. 0). Why not a streaming tee: the root → column row needs
-    cross-batch dedup (GeoStreamJob keeps a versioned columns table for
-    exactly that); over the complete staged frame a groupBy-min is
-    exact."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
-
-    from bucketizers_spark.operators.core import relation_row
-    from bucketizers_spark.operators.geospatial import tile_bbox_wkt
-
-    root = getattr(c, "root", "root") or "root"
-    # the staged child frame already holds the parent in _parent
-    # (_geo_stage renames the incoming bucket_id before paging)
-    pcols = ["_parent"] if with_parent else []
-    matched = df.where(F.col("_leaf") != "bucketless")
-    fb = df.where(F.col("_leaf") == "bucketless")
-
-    @pandas_udf("string")
-    def bbox_of(leaf: pd.Series) -> pd.Series:
-        def one(s: str) -> str:
-            zs, xs, ys = s.split("/")
-            return tile_bbox_wkt(int(xs), int(ys), int(zs))
-
-        return leaf.map(one)
-
-    page_firsts = (
-        matched.groupBy(*pcols, "_leaf", "_page")
-        .agg(F.min("seq").alias("created_at_seq"))
-        .withColumn("bbox", bbox_of(F.col("_leaf")))
-        .withColumn(
-            "_column_raw",
-            F.regexp_replace(F.col("_leaf"), r"/[^/]+$", ""),
-        )
-    )
-    if with_parent:
-        column = F.concat(F.col("_parent"), F.lit("/"), F.col("_column_raw"))
-        page_bucket = F.concat(
-            F.col("_parent"), F.lit("/"), F.col("_leaf"),
-            F.lit("-"), F.col("_page"),
-        )
-        fb_from = F.col("_parent")
-        fb_to = F.concat(
-            F.col("_parent"), F.lit("/bucketless-"), F.col("_page")
-        )
-    else:
-        column = F.col("_column_raw")
-        page_bucket = F.concat(F.col("_leaf"), F.lit("-"), F.col("_page"))
-        fb_from = F.lit(root)
-        fb_to = F.concat(F.lit("bucketless-"), F.col("_page"))
-    pf = page_firsts.withColumn("_column", column)
-    column_rels = pf.select(
-        *relation_row(
-            F.col("_column"),
-            "GeospatiallyContains",
-            page_bucket,
-            values=F.array(F.col("bbox")),
-            seq=F.col("created_at_seq"),
-        )
-    )
-    root_from = F.col("_parent") if with_parent else F.lit(root)
-    root_rels = (
-        pf.groupBy(*pcols, "_column")
-        .agg(
-            F.min("created_at_seq").alias("created_at_seq"),
-            F.min_by("bbox", F.col("created_at_seq")).alias("bbox"),
-        )
-        .select(
-            *relation_row(
-                root_from,
-                "GeospatiallyContains",
-                F.col("_column"),
-                values=F.array(F.col("bbox")),
-                seq=F.col("created_at_seq"),
-            )
-        )
-    )
-    fb_rels = (
-        fb.groupBy(*pcols, "_page")
-        .agg(F.min("seq").alias("created_at_seq"))
-        .select(
-            *relation_row(
-                fb_from, "Relation", fb_to, seq=F.col("created_at_seq")
-            )
-        )
-    )
-    return column_rels.unionByName(root_rels).unionByName(fb_rels)
-
-
 def stages_from_spec(spec) -> list:
     """Map a validated multi JobSpec onto compose_streams stage
     transforms, where per-stage streaming forms exist:
@@ -618,11 +706,10 @@ def stages_from_spec(spec) -> list:
                 )
             elif sub.strategy == "geospatial":
                 # one stateful op incl. the bucketless sentinel fallback
-                # (see _geo_stage); relations derive at read time from
-                # the staged output (relations_from_spec →
-                # _geo_rels_from_staged). The standalone GeoStreamJob
-                # remains the form with LIVE streaming relations
-                # (versioned root→column dedup per batch)
+                # (see _geo_stage); relations stream incrementally from
+                # the staged flags (relations_from_spec → GeoRelTee,
+                # the same versioned root→column dedup the standalone
+                # GeoStreamJob runs per batch)
                 stages.append(
                     lambda s, c=sub: _geo_stage(s, c, with_parent=False)
                 )
@@ -732,10 +819,12 @@ def relations_from_spec(spec) -> list:
       chain between observed windows per parent, computed over the
       staged output at read time (see BatchDerivedRelations for why it
       cannot stream).
-    - ``geospatial`` (stage 0 or child): BatchDerivedRelations over the
-      staged flags+leaf columns (_geo_rels_from_staged) — column →
-      leaf-page, root/parent → column (first-tile bbox, deduped exactly
-      over the complete frame), and the bucketless fallback links.
+    - ``geospatial`` (stage 0 or child): GeoRelTee — an incremental
+      foreachBatch tee over the staged flags+leaf columns: column →
+      leaf-page and bucketless links per is_new_page row, root/parent →
+      column deduped across batches with a versioned emitted-columns
+      table (the GeoStreamJob pattern), so relations stream out without
+      rescanning the staged output.
     - others: None (substring relations — stage 0 or child — live in
       TrieStage's job sink and surface via read_relations(); sliding
       children have no relations in batch either)."""
@@ -880,16 +969,11 @@ def relations_from_spec(spec) -> list:
             # when a late window lands between two linked ones
             rels.append(BatchDerivedRelations(time_child_rels))
         elif sub.strategy == "geospatial":
-            # composed geo stages: derive column/page/root links from the
-            # staged flags+leaf columns at read time (_geo_rels_from_staged
-            # — the root→column dedup is exact over the complete frame)
-            rels.append(
-                BatchDerivedRelations(
-                    lambda df, c=sub, wp=(k > 0): _geo_rels_from_staged(
-                        df, c, with_parent=wp
-                    )
-                )
-            )
+            # composed geo stages: INCREMENTAL relation tee driven by
+            # the pager flags with versioned root→column dedup (GeoRelTee
+            # — r4 VERDICT #3; the previous BatchDerivedRelations form
+            # rescanned the complete staged output per listing)
+            rels.append(GeoRelTee(sub, with_parent=(k > 0)))
         else:
             rels.append(None)
     return rels

@@ -736,6 +736,102 @@ class TestComposeStreams:
         assert grel == wrel
         assert any(t == "GeospatiallyContains" for _, t, *_ in grel)
         assert any("/bucketless-" in to for _, _, to, *_ in grel)
+        # the tee is INCREMENTAL (GeoRelTee): relation rows must already
+        # sit in the stage's rels/ dir as per-batch files, so reading
+        # them never rescans the stage's staged assignment output
+        import glob as _glob
+
+        rel_files = _glob.glob(
+            os.path.join(workdir, "compose", "stage1", "rels", "*.parquet")
+        )
+        assert rel_files, "geo relations were not staged incrementally"
+
+    def test_geo_child_relations_kill_resume(
+        self, spark, workdir, stream_pdf
+    ):
+        """GeoRelTee across a mid-stream kill/resume: the versioned
+        emitted-columns state must keep root/parent → column exactly-once
+        (no duplicate and no lost link) and the final relation set must
+        equal batch multi [subject, geospatial] — incl. bbox values and
+        created_at_seq (a duplicate emission with a later batch's seq
+        would show up here)."""
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.pipeline import build
+        from bucketizers_spark.streaming.compose import (
+            compose_streams,
+            relations_from_spec,
+            stages_from_spec,
+        )
+
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "subject", "column": "source"},
+                {
+                    "strategy": "geospatial",
+                    "column": "wkt",
+                    "zoom": 3,
+                    "page_size": 7,
+                },
+            ],
+        }
+
+        def with_wkt(df):
+            lon = (F.col("seq") % 360) - 180 + F.lit(0.5)
+            lat = ((F.col("seq") * 7) % 170) - 85 + F.lit(0.5)
+            wkt = F.concat(
+                F.lit("POINT("), lon, F.lit(" "), lat, F.lit(")")
+            )
+            return df.withColumn(
+                "wkt",
+                F.when(F.col("seq") % 17 == 0, F.lit("not-a-geom"))
+                .otherwise(wkt),
+            )
+
+        chunk_dir = os.path.join(workdir, "chunks")
+
+        def compose():
+            stream = with_wkt(
+                read_token_stream(spark, chunk_dir, max_files_per_trigger=1)
+            )
+            return compose_streams(
+                stream,
+                stages_from_spec(spec),
+                os.path.join(workdir, "compose"),
+                relations=relations_from_spec(spec),
+            )
+
+        first, rest = stream_pdf.iloc[:1200], stream_pdf.iloc[1200:]
+        stage_chunks(first, chunk_dir, n_chunks=2)
+        c1 = compose()
+        c1.start()
+        c1.process_all()
+        c1.stop()
+        stage_chunks(rest, chunk_dir, n_chunks=2, start_index=2)
+        c2 = compose()
+        out = c2.run_until_drained()
+
+        batch_df = with_wkt(
+            spark.createDataFrame(stream_pdf, TOKEN_STREAM_SCHEMA)
+        )
+        res = build(batch_df, spec)
+        assert assignments_map(out) == assignments_map(res.assignments)
+
+        def key(r):
+            return (
+                r["from_bucket"],
+                r["relation_type"],
+                r["to_bucket"],
+                tuple(r["values"] or []),
+                r["created_at_seq"],
+            )
+
+        grel_list = [key(r) for r in c2.read_relations().collect()]
+        grel, wrel = set(grel_list), {key(r) for r in res.relations.collect()}
+        assert grel == wrel
+        # exactly-once across resume: no duplicate relation rows at all
+        assert len(grel_list) == len(grel)
 
     def test_time_child_relations_match_batch(
         self, spark, workdir, stream_pdf
