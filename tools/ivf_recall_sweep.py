@@ -6,10 +6,19 @@ operators/ivf.kmeans_centroids (same numpy math re-run here so the
 sweep needs no JVM).
 
 Usage: python tools/ivf_recall_sweep.py [sf_dir]
+       python tools/ivf_recall_sweep.py --clustered [n] [n_clusters] [sigma]
 Output: a markdown table (pasted into BENCH/PLANS.md) — recall@10 and
 mean scan fraction (probed-cell population / n: the cost half of the
 trade) per config. Queries are every 100th vector, matching ann_topk /
 ann_ivf.
+
+``--clustered`` swaps the driver fixture (near-random embeddings — the
+WORST case for IVF, where recall can't beat the scan fraction by much)
+for a planted-Gaussian-clusters fixture: ``n_clusters`` unit-norm
+centers, points = center + N(0, sigma²) noise, renormalized — the
+regime IVF actually targets, where trained centroids should recover the
+planted structure and lowest-id centroids shouldn't. Deterministic
+(fixed seed) so the table reproduces.
 """
 
 from __future__ import annotations
@@ -75,14 +84,37 @@ def recall_for(Mn, qidx, gt, C, nprobe):
     return float(np.mean(recs)), float(np.mean(scans))
 
 
+def planted_clusters(
+    n: int = 2000, n_clusters: int = 20, sigma: float = 0.25, dim: int = 64
+):
+    """Deterministic planted-Gaussian-clusters fixture: unit-norm random
+    centers; each point is its (round-robin-assigned) center plus
+    isotropic N(0, sigma²) noise. sigma≈0.25 on unit vectors gives
+    within-cluster cosine ≈0.89 vs cross-cluster ≈0 — clearly clustered
+    but not trivially separable at the noise tail."""
+    rng = np.random.default_rng(20260817)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n) % n_clusters
+    M = centers[labels] + sigma * rng.standard_normal((n, dim))
+    return np.arange(n), M
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    con = duckdb.connect()
-    rows = con.execute(
-        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
-    ).fetchall()
-    ids = np.array([r[0] for r in rows])
-    M = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+        nc = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+        sigma = float(sys.argv[4]) if len(sys.argv) > 4 else 0.25
+        ids, M = planted_clusters(n, nc, sigma)
+        sf_dir = f"planted-gaussian(n={n}, clusters={nc}, sigma={sigma})"
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        ids = np.array([r[0] for r in rows])
+        M = np.array([r[1] for r in rows], dtype=np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     n = len(ids)
     qmask = ids % 100 == 0
