@@ -104,7 +104,10 @@ def geospatial_tiles(
     # any non-WKT value
     bad = F.exists(F.col("_tiles"), lambda t: t["y"].isNull())
     work = df.withColumn("_tiles", tiles)
-    is_matched = (F.size("_tiles") > 0) & ~bad
+    # null-safe: a NULL value gives NULL _tiles, and three-valued
+    # logic would drop the row from BOTH sides of the split — NULL
+    # members must reach the fallback pager like any non-WKT value
+    is_matched = F.coalesce((F.size("_tiles") > 0) & ~bad, F.lit(False))
     unmatched = work.where(~is_matched).drop("_tiles")
     matched = work.where(is_matched)
 
@@ -151,7 +154,13 @@ def geospatial_tiles(
         )
         page_firsts = (
             paged.groupBy("_leaf", "_page")
-            .agg(F.min(seq_col).alias("created_at_seq"))
+            .agg(
+                F.min(seq_col).alias("created_at_seq"),
+                # (seq, _tpos) — one member's tiles share seq, so the
+                # within-member PAIR ORDER breaks the tie exactly like
+                # the reference's first-seen tilesMap walk
+                F.min(F.struct(F.col(seq_col), F.col("_tpos"))).alias("_ord"),
+            )
             .join(F.broadcast(bbox_dim), F.col("_leaf") == F.col("leaf"))
         )
         column_rels = page_firsts.select(
@@ -168,7 +177,7 @@ def geospatial_tiles(
             page_firsts.groupBy("column")
             .agg(
                 F.min("created_at_seq").alias("created_at_seq"),
-                F.min_by("bbox", F.col("created_at_seq")).alias("bbox"),
+                F.min_by("bbox", F.col("_ord")).alias("bbox"),
             )
             .select(
                 *relation_row(

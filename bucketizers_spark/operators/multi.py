@@ -385,7 +385,10 @@ def geo_within_parent(
     payload_cols = df.columns
     work = df.withColumn("_tiles", tile_array_col(value_col, zoom))
     bad = F.exists(F.col("_tiles"), lambda t: t["y"].isNull())
-    is_matched = (F.size("_tiles") > 0) & ~bad
+    # null-safe: a NULL value gives NULL _tiles, and three-valued
+    # logic would drop the row from BOTH sides of the split — NULL
+    # members must reach the fallback pager like any non-WKT value
+    is_matched = F.coalesce((F.size("_tiles") > 0) & ~bad, F.lit(False))
     unmatched = work.where(~is_matched).drop("_tiles")
     matched = work.where(is_matched)
 
@@ -441,7 +444,12 @@ def geo_within_parent(
         )
         page_firsts = (
             paged.groupBy(parent_col, "_leaf", "_page")
-            .agg(F.min(seq_col).alias("created_at_seq"))
+            .agg(
+                F.min(seq_col).alias("created_at_seq"),
+                # (seq, _tpos): within-member pair order breaks same-seq
+                # ties like the reference's tilesMap walk
+                F.min(F.struct(F.col(seq_col), F.col("_tpos"))).alias("_ord"),
+            )
             .join(F.broadcast(bbox_dim), F.col("_leaf") == F.col("leaf"))
             .withColumn(
                 "_column",
@@ -470,7 +478,7 @@ def geo_within_parent(
             page_firsts.groupBy(parent_col, "_column")
             .agg(
                 F.min("created_at_seq").alias("created_at_seq"),
-                F.min_by("bbox", F.col("created_at_seq")).alias("bbox"),
+                F.min_by("bbox", F.col("_ord")).alias("bbox"),
             )
             .select(
                 *relation_row(

@@ -226,6 +226,13 @@ def route_with_fallback(
         spec = spec_from_dict(spec)
     if not spec.column:
         return build(df, spec)
+    if spec.strategy == "geospatial":
+        # the geo builder already routes ALL unbucketizable members
+        # (NULL value, non-WKT, -90° latitude) through ONE fallback
+        # pager; splitting NULLs off here would run a second pager whose
+        # page numbers collide with the builder's (the reference keeps a
+        # single bucketlessPageMemberCounter, BucketizerCore.ts:375-396)
+        return build(df, spec)
     matched = df.where(F.col(spec.column).isNotNull())
     unmatched = df.where(F.col(spec.column).isNull())
     main = build(matched, spec)

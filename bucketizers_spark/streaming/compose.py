@@ -325,7 +325,10 @@ class GeoRelTee:
             .groupBy(*pcols, "_column")
             .agg(
                 F.min("seq").alias("created_at_seq"),
-                F.min_by("_leaf", F.col("seq")).alias("_first_leaf"),
+                # (seq, _tpos): pair order breaks same-member seq ties
+                F.min_by(
+                    "_leaf", F.struct(F.col("seq"), F.col("_tpos"))
+                ).alias("_first_leaf"),
             )
             .withColumn("_bbox", bbox_of(F.col("_first_leaf")))
             .select(
@@ -560,7 +563,9 @@ def _geo_stage(s: DataFrame, c, *, with_parent: bool) -> DataFrame:
         work = work.withColumnRenamed("bucket_id", "_parent")
     work = work.withColumn("_tiles", tile_array_col(c.column, c.zoom))
     bad = F.exists(F.col("_tiles"), lambda t: t["y"].isNull())
-    matched = (F.size("_tiles") > 0) & ~bad
+    # null-safe (see operators/geospatial): NULL values must route
+    # to the bucketless sentinel, not vanish in three-valued logic
+    matched = F.coalesce((F.size("_tiles") > 0) & ~bad, F.lit(False))
     payload = [col for col in work.columns if col != "_tiles"]
     tiles = (
         work.where(matched)

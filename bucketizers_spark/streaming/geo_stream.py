@@ -74,7 +74,9 @@ def geospatial_assign_stream(
     payload_cols = stream_df.columns
     work = stream_df.withColumn("_tiles", tile_array_col(value_col, zoom))
     bad = F.exists(F.col("_tiles"), lambda t: t["y"].isNull())
-    is_matched = (F.size("_tiles") > 0) & ~bad
+    # null-safe (see operators/geospatial): NULL values must route
+    # to unmatched, not vanish in three-valued logic
+    is_matched = F.coalesce((F.size("_tiles") > 0) & ~bad, F.lit(False))
     unmatched = work.where(~is_matched).drop("_tiles")
     exploded = (
         work.where(is_matched)
@@ -147,7 +149,11 @@ def relations_from_flags(
         .groupBy("_col")
         .agg(
             F.min(seq_col).alias("created_at_seq"),
-            F.min_by("_leaf", F.col(seq_col)).alias("_first_leaf"),
+            # (seq, _tpos): a member's tiles share seq — pair order
+            # breaks the tie like the reference's tilesMap walk
+            F.min_by(
+                "_leaf", F.struct(F.col(seq_col), F.col("_tpos"))
+            ).alias("_first_leaf"),
         )
         .withColumn("_bbox", bbox_of(F.col("_first_leaf")))
     )

@@ -176,6 +176,220 @@ class TestTrieStrategiesProperty:
         assert _rel_set(walk.relations) == _rel_set(casc.relations)
 
 
+def _fmt_coord(v: float) -> str:
+    # fixed-point, never scientific: both the engine regex and the
+    # oracle regex must tokenize the same text
+    return f"{v:.3f}"
+
+
+# truncation / pole edges the slippy quirk lives in (SlippyMaps.ts:24-25:
+# parseInt BEFORE tiling; ±90 latitude behavior; sub-1 values truncate to
+# 0 regardless of sign)
+_EDGE_LON = [-180.0, -179.999, -0.999, 0.0, 0.999, 179.999, 180.0]
+_EDGE_LAT = [-90.0, -89.999, -85.051, -0.999, 0.0, 0.999, 85.051, 89.999, 90.0]
+
+_lon = st.one_of(
+    st.sampled_from(_EDGE_LON),
+    st.floats(min_value=-180, max_value=180, allow_nan=False),
+)
+_lat = st.one_of(
+    st.sampled_from(_EDGE_LAT),
+    st.floats(min_value=-90, max_value=90, allow_nan=False),
+)
+_pair = st.tuples(_lon, _lat).map(
+    lambda p: f"{_fmt_coord(p[0])} {_fmt_coord(p[1])}"
+)
+_wkt_value = st.one_of(
+    _pair.map(lambda p: f"POINT ({p})"),
+    _pair.map(
+        lambda p: f"<http://www.opengis.net/def/crs/OGC/1.3/CRS84> POINT ({p})"
+    ),
+    st.lists(_pair, min_size=2, max_size=4).map(
+        lambda ps: "MULTIPOINT (" + ", ".join(f"({p})" for p in ps) + ")"
+    ),
+    st.sampled_from(["garbage", "", "POLYGON", "ERR:boom"]),
+    st.none(),
+)
+
+
+class TestGeospatialProperty:
+    """Random WKT through the geospatial front door vs GeospatialOracle
+    (VERDICT r4 #7): the parseInt-truncation quirk at integer-degree
+    boundaries, the ±90 latitude edge (+90 tiles finitely like JS, -90
+    throws → fallback), CRS prefixes, multi-point tile dedup, non-WKT →
+    fallback, and NULL members sharing the SAME bucketless counter (the
+    r5 null-safety + single-pager fixes live exactly here)."""
+
+    @_SET
+    @given(
+        values=st.lists(_wkt_value, min_size=8, max_size=30),
+        page_size=st.integers(1, 4),
+        zoom=st.sampled_from([2, 4]),
+    )
+    def test_geo_front_door_matches_oracle(
+        self, spark, values, page_size, zoom
+    ):
+        from bucketizers_spark.oracle.reference import GeospatialOracle
+        from bucketizers_spark.pipeline import route_with_fallback
+
+        df = _members_df(spark, values)
+        res = route_with_fallback(
+            df,
+            {
+                "strategy": "geospatial",
+                "column": "value",
+                "zoom": zoom,
+                "page_size": page_size,
+            },
+        )
+        oracle = GeospatialOracle(page_size=page_size, zoom=zoom)
+        exp, orels = _oracle_assignments(oracle, values)
+        assert _collect(res.assignments) == exp
+        assert _rel_set(res.relations) == _oracle_rel_set(orels)
+
+
+class TestMultiProperty:
+    """Random 2-level multi specs vs a composed per-parent oracle
+    (VERDICT r4 #7): stage 0 assigns the parent with its own sequential
+    oracle; each parent bucket gets a DEDICATED child oracle instance
+    (the reference's child-instance-per-parent, MultiBucketizer.ts:94-96)
+    whose buckets/relations map child-root → parent and anything else →
+    parent/name (mapTerm, ts:123-141; basic pages never collapse — page
+    0 is parent/0). Exercises per-parent counters, rotation, tries, tile
+    pagers, and per-parent fallback under adversarial inputs."""
+
+    @_SET
+    @given(
+        data=st.data(),
+        stage0=st.sampled_from(["basic", "subject"]),
+        child=st.sampled_from(["basic", "subject", "substring", "geospatial"]),
+        page0=st.integers(3, 8),
+        cap=st.integers(1, 4),
+    )
+    def test_two_level_multi_matches_composed_oracle(
+        self, spark, data, stage0, child, page0, cap
+    ):
+        from bucketizers_spark.oracle.reference import (
+            BasicOracle,
+            GeospatialOracle,
+            SubjectPageOracle,
+            SubstringOracle,
+        )
+        from bucketizers_spark.pipeline import build
+
+        n = data.draw(st.integers(10, 30), label="n_members")
+        parents = data.draw(
+            st.lists(
+                st.sampled_from(["p0", "p1", "p2"]), min_size=n, max_size=n
+            ),
+            label="parents",
+        )
+        if child == "geospatial":
+            cvals = data.draw(
+                st.lists(
+                    st.one_of(_wkt_value.filter(lambda v: v is not None)),
+                    min_size=n,
+                    max_size=n,
+                ),
+                label="cvals",
+            )
+        else:
+            # ASCII-domain child values: the multi children run the fast
+            # normalize tier, whose contract domain is ASCII
+            cvals = data.draw(
+                st.lists(
+                    st.text("abz019 #,'-J", max_size=8),
+                    min_size=n,
+                    max_size=n,
+                ),
+                label="cvals",
+            )
+        rows = [
+            (i, f"m{i}", parents[i], cvals[i]) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "seq long, member_id string, parent string, cval string"
+        )
+        child_specs = {
+            "basic": {"strategy": "basic", "page_size": cap},
+            "subject": {
+                "strategy": "subject",
+                "column": "cval",
+                "max_relations": cap,
+            },
+            "substring": {
+                "strategy": "substring",
+                "column": "cval",
+                "page_size": cap,
+            },
+            "geospatial": {
+                "strategy": "geospatial",
+                "column": "cval",
+                "zoom": 3,
+                "page_size": cap,
+            },
+        }
+        spec = {
+            "strategy": "multi",
+            "configs": [
+                {"strategy": "basic", "page_size": page0}
+                if stage0 == "basic"
+                else {"strategy": "subject", "column": "parent"},
+                child_specs[child],
+            ],
+        }
+        res = build(df, spec)
+
+        def make_child():
+            return {
+                "basic": lambda: BasicOracle(page_size=cap),
+                "subject": lambda: SubjectPageOracle(
+                    max_relations=cap, salt="s0"
+                ),
+                "substring": lambda: SubstringOracle(page_size=cap),
+                "geospatial": lambda: GeospatialOracle(
+                    page_size=cap, zoom=3
+                ),
+            }[child]()
+
+        o0 = (
+            BasicOracle(page_size=page0)
+            if stage0 == "basic"
+            else SubjectPageOracle(salt="s0")
+        )
+        children: dict = {}
+        exp: dict = {}
+        orels: set = set()
+        for seq, mid, pval, cval in rows:
+            out0 = o0.bucketize([pval], mid)
+            parent = out0.buckets[0]
+            orels |= {
+                (r.from_bucket, r.relation_type, r.to_bucket, tuple(r.values))
+                for r in out0.relations
+            }
+            co = children.setdefault(parent, make_child())
+            outc = co.bucketize([cval] if cval is not None else None, mid)
+
+            def mp(name, parent=parent):
+                if child != "basic" and name == "root":
+                    return parent
+                return f"{parent}/{name}"
+
+            exp[mid] = sorted(mp(b) for b in outc.buckets)
+            orels |= {
+                (mp(r.from_bucket), r.relation_type, mp(r.to_bucket),
+                 tuple(r.values))
+                for r in outc.relations
+            }
+        got = _collect(res.assignments)
+        # members whose child chain yields no bucket (exhausted multi-word
+        # trie walk) may surface as a NULL-bucket row or no row at all
+        for mid, buckets in exp.items():
+            got.setdefault(mid, []) if not buckets else None
+        assert got == exp
+        assert _rel_set(res.relations) == orels
+
+
 class TestSubjectProperty:
     @_SET
     @given(
