@@ -3,3 +3,8 @@ from bucketizers_spark.sources.ntriples import (  # noqa: F401
     member_quads,
     read_ntriples,
 )
+from bucketizers_spark.sources.warc import (  # noqa: F401
+    http_payload_text,
+    parse_warc_bytes,
+    read_warc,
+)
