@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_repetition",
     "tfidf_terms",
+    "bm25_search",
 ]
 
 

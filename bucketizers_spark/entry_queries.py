@@ -1411,6 +1411,107 @@ SELECT source, term, tfidf_r4, rk FROM (
 """
 
 
+# BM25 parameters + a fixed query-term set over the documents table (the
+# corpus vocabulary is synthetic; these are mid-frequency terms so the
+# IDF spread is meaningful). Deterministic so the DuckDB oracle replays.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("vector", "hash", "slow")
+_BM25_TOPK = 20
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed query over the documents table —
+    the search/relevance operator next to tfidf_terms, with the scoring
+    used by every lexical-retrieval baseline (Robertson/Sparck Jones
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation k1=1.2,
+    length normalization b=0.75).
+
+    Scale shape (100 TB): the explode is FILTERED to the query terms
+    before any aggregation, so the per-doc tf frame is |terms|-bounded —
+    never a full posting explosion; document lengths are a narrow map;
+    N/avgdl/df are scalar-or-|terms|-sized aggregates collected driver
+    side (bounded by the query size, not the corpus); the final ranking
+    is one TakeOrderedAndProject-style top-k window over the slim
+    (doc, score) frame. In a served system the df/N stats come from an
+    offline stats table — the per-query plan is then a single filtered
+    scan + groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        F.explode(words).alias("term"),
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    tf = base.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(words)).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        F.col("tf") * (_BM25_K1 + 1)
+    ) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score_r4"))
+    )
+    w = Window.orderBy(F.col("score_r4").desc(), F.col("doc_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= _BM25_TOPK
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+SQL_BM25_SEARCH = f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM base
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, dl, term
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * tf.dl / stats.avgdl))
+         ), 4) AS score_r4
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score_r4, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY score_r4 DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= {_BM25_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # S2 substring / token tries — with generated DuckDB oracles.
 #
@@ -2149,6 +2250,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_repetition": q_doc_repetition,
     "tfidf_terms": q_tfidf_terms,
+    "bm25_search": q_bm25_search,
     "substring_trie": q_substring_trie,
     "substring_trie_relations": q_substring_trie_relations,
     "token_prefix_trie": q_token_prefix_trie,
@@ -2193,6 +2295,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_repetition": SQL_DOC_REPETITION,
     "tfidf_terms": SQL_TFIDF_TERMS,
+    "bm25_search": SQL_BM25_SEARCH,
     "substring_trie": SQL_SUBSTRING_TRIE,
     "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,

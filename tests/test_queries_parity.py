@@ -36,6 +36,7 @@ SUBSET = [
     "text_quality",
     "doc_repetition",
     "tfidf_terms",
+    "bm25_search",
 ]
 
 
