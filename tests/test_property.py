@@ -285,12 +285,10 @@ class TestMultiProperty:
             label="parents",
         )
         if child == "geospatial":
+            # incl. None: NULL WKT must reach the PARENT's bucketless
+            # pager (the r5 multi-child null-safety fix)
             cvals = data.draw(
-                st.lists(
-                    st.one_of(_wkt_value.filter(lambda v: v is not None)),
-                    min_size=n,
-                    max_size=n,
-                ),
+                st.lists(_wkt_value, min_size=n, max_size=n),
                 label="cvals",
             )
         else:
