@@ -1445,7 +1445,9 @@ def q_bm25_search(spark, sf_dir):
     ).where(F.col("term").isin(*_BM25_TERMS))
     tf = base.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).localCheckpoint()  # both tf and dfreq read this frame; without the
+    # cut the dfreq branch re-derives the lineage and the corpus TEXT is
+    # scanned twice — tf itself is slim (≤ |query terms| rows per doc)
     stats = docs.select(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size(words)).alias("avgdl"),
