@@ -164,9 +164,10 @@ def _parse_png(data: bytes) -> np.ndarray:
         p += stride + 1
         if ft == 0:
             pass
-        elif ft == 1:  # Sub
+        elif ft == 1:  # Sub (int() avoids the noisy uint8-overflow
+            # RuntimeWarning; & 0xFF is the intended mod-256 wrap)
             for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
         elif ft == 2:  # Up (vectorized: uint8 addition wraps mod 256)
             row += prev
         elif ft == 3:  # Average
