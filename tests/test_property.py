@@ -387,6 +387,136 @@ class TestMultiProperty:
         assert got == exp
         assert _rel_set(res.relations) == orels
 
+    @_SET
+    @given(
+        data=st.data(),
+        stage0=st.sampled_from(["basic", "subject"]),
+        mid=st.sampled_from(["basic", "subject"]),
+        leaf=st.sampled_from(["basic", "subject", "substring"]),
+        rot0=st.sampled_from([2, 100]),
+        cap=st.integers(1, 4),
+    )
+    def test_three_level_multi_matches_composed_oracle(
+        self, spark, data, stage0, mid, leaf, rot0, cap
+    ):
+        """3-stage chains: the mapTerm prefixing composes through TWO
+        rewrites (leaf names become p/q/name), each mid bucket holds a
+        dedicated leaf-oracle instance, and stage-0 subject rotation
+        (max_relations=2) runs concurrently with nested children."""
+        from bucketizers_spark.oracle.reference import (
+            BasicOracle,
+            SubjectPageOracle,
+            SubstringOracle,
+        )
+        from bucketizers_spark.pipeline import build
+
+        n = data.draw(st.integers(10, 30), label="n_members")
+        parents = data.draw(
+            st.lists(
+                st.sampled_from(["p0", "p1", "p2"]), min_size=n, max_size=n
+            ),
+            label="parents",
+        )
+        v1s = data.draw(
+            st.lists(
+                st.sampled_from(["a", "b", "c9"]), min_size=n, max_size=n
+            ),
+            label="v1s",
+        )
+        v2s = data.draw(
+            st.lists(
+                st.text("abz019 #,'-J", max_size=8), min_size=n, max_size=n
+            ),
+            label="v2s",
+        )
+        rows = [
+            (i, f"m{i}", parents[i], v1s[i], v2s[i]) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "seq long, member_id string, parent string, v1 string, v2 string",
+        )
+        level_specs = [
+            {"strategy": "basic", "page_size": 5}
+            if stage0 == "basic"
+            else {
+                "strategy": "subject",
+                "column": "parent",
+                "max_relations": rot0,
+            },
+            {"strategy": "basic", "page_size": cap + 1}
+            if mid == "basic"
+            else {
+                "strategy": "subject",
+                "column": "v1",
+                "max_relations": cap,
+            },
+            {
+                "basic": {"strategy": "basic", "page_size": cap},
+                "subject": {
+                    "strategy": "subject",
+                    "column": "v2",
+                    "max_relations": cap,
+                },
+                "substring": {
+                    "strategy": "substring",
+                    "column": "v2",
+                    "page_size": cap,
+                },
+            }[leaf],
+        ]
+        res = build(
+            df, {"strategy": "multi", "configs": level_specs}
+        )
+
+        kinds = [stage0, mid, leaf]
+
+        def make(level):
+            kind = kinds[level]
+            if kind == "basic":
+                return BasicOracle(page_size=level_specs[level]["page_size"])
+            if kind == "subject":
+                return SubjectPageOracle(
+                    max_relations=level_specs[level]["max_relations"],
+                    salt="s0",
+                )
+            return SubstringOracle(page_size=cap)
+
+        root = {"oracle": make(0), "children": {}}
+        exp: dict = {}
+        orels: set = set()
+        for seq, mid_id, pval, v1, v2 in rows:
+            vals = [pval, v1, v2]
+            node, prefix = root, None
+            for lvl, kind in enumerate(kinds):
+                out = node["oracle"].bucketize([vals[lvl]], mid_id)
+
+                def mp(name, kind=kind, prefix=prefix):
+                    if prefix is None:
+                        return name
+                    if kind != "basic" and name == "root":
+                        return prefix
+                    return f"{prefix}/{name}"
+
+                orels |= {
+                    (mp(r.from_bucket), r.relation_type, mp(r.to_bucket),
+                     tuple(r.values))
+                    for r in out.relations
+                }
+                if lvl == len(kinds) - 1:
+                    exp[mid_id] = sorted(mp(b) for b in out.buckets)
+                else:
+                    full = mp(out.buckets[0])
+                    node = node["children"].setdefault(
+                        full, {"oracle": make(lvl + 1), "children": {}}
+                    )
+                    prefix = full
+        got = _collect(res.assignments)
+        for m, buckets in exp.items():
+            got.setdefault(m, []) if not buckets else None
+        assert got == exp
+        assert _rel_set(res.relations) == orels
+
 
 class TestSubjectProperty:
     @_SET
