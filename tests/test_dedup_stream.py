@@ -1,0 +1,142 @@
+"""Streaming cross-batch exact dedup vs the batch dedup_exact operator,
+incl. duplicates that ARRIVE IN LATER MICRO-BATCHES and a kill/resume
+(the cross-batch state is the whole point — within-batch dedup would
+pass a weaker test)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bucketizers_spark.sources.stream import stage_chunks
+
+
+@pytest.fixture()
+def workdir():
+    d = f"/root/repo/.scratch/dedup_stream_{uuid.uuid4().hex[:8]}"
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _corpus_pdf(n: int = 400) -> pd.DataFrame:
+    # ~1/3 of docs duplicate an EARLIER doc's text, with the duplicate
+    # arriving much later in the stream (cross-batch by construction)
+    rows = []
+    for i in range(n):
+        if i % 3 == 2 and i >= 30:
+            text = f"text body number {i - 30 - (i % 7)}"
+        else:
+            text = f"text body number {i}"
+        rows.append((i, f"d{i:05d}", text))
+    return pd.DataFrame(rows, columns=["seq", "doc_id", "text"])
+
+
+_SCHEMA = "seq long, doc_id string, text string"
+
+
+def _read_stream(spark, chunk_dir):
+    return (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(chunk_dir)
+    )
+
+
+def _batch_expect(spark, pdf):
+    """Batch dedup_exact semantics: canon = min doc_id per md5(text).
+    Arrival order follows doc_id order in the fixture, so first-arrival
+    (streaming) and min-id (batch) must coincide."""
+    df = spark.createDataFrame(pdf, _SCHEMA)
+    w = Window.partitionBy(F.md5("text"))
+    return df.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canon_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+class TestExactDedupStream:
+    def test_matches_batch_across_micro_batches(self, spark, workdir):
+        from bucketizers_spark.streaming.dedup_stream import (
+            exact_dedup_stream,
+        )
+
+        pdf = _corpus_pdf()
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(pdf, chunk_dir, n_chunks=5)
+        out_dir = os.path.join(workdir, "out")
+        tagged = exact_dedup_stream(_read_stream(spark, chunk_dir))
+        q = (
+            tagged.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.doc_id: (r.canon_id, r.is_dup)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        want = {
+            r.doc_id: (r.canon_id, r.is_dup)
+            for r in _batch_expect(spark, pdf).collect()
+        }
+        assert got == want
+        assert sum(1 for _, d in got.values() if d) > 50  # dups exist
+
+    def test_kill_resume_keeps_cross_batch_state(self, spark, workdir):
+        """A duplicate arriving AFTER a restart must still be flagged
+        against a canon seen BEFORE the kill — the state-store resume
+        path, not just within-run state."""
+        from bucketizers_spark.streaming.dedup_stream import (
+            exact_dedup_stream,
+        )
+
+        pdf = _corpus_pdf()
+        chunk_dir = os.path.join(workdir, "chunks")
+        out_dir = os.path.join(workdir, "out")
+        ckpt = os.path.join(workdir, "ckpt")
+
+        def run():
+            tagged = exact_dedup_stream(_read_stream(spark, chunk_dir))
+            q = (
+                tagged.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        first, rest = pdf.iloc[:150], pdf.iloc[150:]
+        stage_chunks(first, chunk_dir, n_chunks=2)
+        run()
+        stage_chunks(rest, chunk_dir, n_chunks=3, start_index=2)
+        run()
+        got = {
+            r.doc_id: (r.canon_id, r.is_dup)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        want = {
+            r.doc_id: (r.canon_id, r.is_dup)
+            for r in _batch_expect(spark, pdf).collect()
+        }
+        assert got == want
+        # at least one post-resume duplicate canonizes to a pre-kill doc
+        post = pdf.iloc[150:]
+        cross = [
+            d for d in post["doc_id"]
+            if got[d][1] and int(got[d][0][1:]) < 150
+        ]
+        assert cross
