@@ -1278,6 +1278,54 @@ FROM documents WHERE length(text) >= 4
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus length statistics — the profiling pass a
+    training-data pipeline runs before choosing filter thresholds: doc
+    count, mean / median / p95 word counts, and the share of short docs
+    (<25 words). EXACT percentiles (linear interpolation between closest
+    ranks — the same definition DuckDB's quantile_cont uses, so the
+    oracle matches bit-for-bit after rounding), computed with the
+    map-side-combinable percentile aggregate: one shuffle on lang, never
+    a global sort. At 100 TB exact per-group percentiles are fine when
+    group count is small (languages); for high-cardinality groups switch
+    to approx_percentile — a documented accuracy/cost knob, not a
+    different plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    per = docs.select("lang", n_words.alias("n_words"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_words"), 4).alias("mean_words"),
+            F.round(
+                F.expr("percentile(n_words, 0.5)"), 4
+            ).alias("median_words"),
+            F.round(
+                F.expr("percentile(n_words, 0.95)"), 4
+            ).alias("p95_words"),
+            F.round(
+                F.avg((F.col("n_words") < 25).cast("double")), 4
+            ).alias("short_frac"),
+        )
+    )
+
+
+SQL_CORPUS_STATS = """
+WITH per AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_words FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_words), 4) AS mean_words,
+       round(quantile_cont(n_words, 0.5), 4) AS median_words,
+       round(quantile_cont(n_words, 0.95), 4) AS p95_words,
+       round(avg(CASE WHEN n_words < 25 THEN 1.0 ELSE 0.0 END), 4)
+         AS short_frac
+FROM per GROUP BY lang
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Intra-document repetition metrics — the training-data quality
     signal that catches boilerplate/looped generations: distinct-word
@@ -2253,6 +2301,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
+    "corpus_stats": q_corpus_stats,
     "substring_trie": q_substring_trie,
     "substring_trie_relations": q_substring_trie_relations,
     "token_prefix_trie": q_token_prefix_trie,
@@ -2298,6 +2347,7 @@ ORACLES = {
     "doc_repetition": SQL_DOC_REPETITION,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "bm25_search": SQL_BM25_SEARCH,
+    "corpus_stats": SQL_CORPUS_STATS,
     "substring_trie": SQL_SUBSTRING_TRIE,
     "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,

@@ -37,6 +37,7 @@ SUBSET = [
     "doc_repetition",
     "tfidf_terms",
     "bm25_search",
+    "corpus_stats",
 ]
 
 
