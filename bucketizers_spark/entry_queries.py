@@ -1412,7 +1412,9 @@ def q_tfidf_terms(spark, sf_dir):
     ).where(F.col("term") != "")
     tf = terms.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).localCheckpoint()  # both df_ and scored read this frame; without
+    # the cut the df_ branch re-derives the lineage and the corpus text
+    # is exploded + scanned twice (same fix as bm25_search)
     df_ = tf.groupBy("term").agg(
         F.countDistinct("source").alias("df")
     )
