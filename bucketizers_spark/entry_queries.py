@@ -617,10 +617,12 @@ def _with_shingles(docs):
     return docs.where(F.size(words) >= 3).withColumn("_sh", shingles)
 
 
-def _minhash_stacked(docs):
-    """(doc_id, band, band_key) rows: the LSH band machinery shared by
-    dedup_minhash and the band-pruned ngram_jaccard. Entirely JVM-side
-    (md5 + array fns)."""
+def _minhash_stacked(docs, extra_cols=()):
+    """(doc_id, band, band_key[, *extra_cols]) rows: the LSH band
+    machinery shared by dedup_minhash, the band-pruned ngram_jaccard,
+    and the streaming candidate generator (extra_cols passes `seq`
+    through for arrival ordering). Entirely JVM-side (md5 + array
+    fns)."""
 
     # ONE md5 per shingle; the 8 minhash "permutations" are its 8 disjoint
     # 4-hex-char slices (16 independent bits each — plenty for banding, and
@@ -650,9 +652,12 @@ def _minhash_stacked(docs):
         F.md5(F.concat(*mh[b * _BAND_SIZE : (b + 1) * _BAND_SIZE])).alias(f"band{b}")
         for b in range(_N_MINHASH // _BAND_SIZE)
     ]
-    sig = docs.withColumn("_mh", mh_arr).select("doc_id", *bands)
+    sig = docs.withColumn("_mh", mh_arr).select(
+        "doc_id", *extra_cols, *bands
+    )
     return sig.select(
         "doc_id",
+        *extra_cols,
         F.explode(
             F.array(
                 *[
@@ -661,7 +666,12 @@ def _minhash_stacked(docs):
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    ).select(
+        "doc_id",
+        *extra_cols,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("band_key"),
+    )
 
 
 def q_dedup_minhash(spark, sf_dir):

@@ -38,6 +38,89 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _DEDUP_STATE = T.StructType([T.StructField("canon", T.StringType())])
 
+_BUCKET_STATE = T.StructType(
+    [T.StructField("members", T.ArrayType(T.StringType()))]
+)
+
+CANDIDATES_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_key", T.StringType()),
+        T.StructField("a_id", T.StringType()),
+        T.StructField("b_id", T.StringType()),
+        T.StructField("b_seq", T.LongType()),
+    ]
+)
+
+
+def _bucket_pairs_fn(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    members = list(state.get[0]) if state.exists else []
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    rows = []
+    if len(pdf):
+        pdf = pdf.sort_values(["seq", "doc_id"]).reset_index(drop=True)
+        band = int(pdf["band"].iloc[0])
+        bkey = str(pdf["band_key"].iloc[0])
+        for doc_id, seq in zip(pdf["doc_id"], pdf["seq"]):
+            did = str(doc_id)
+            for prior in members:
+                rows.append((band, bkey, prior, did, int(seq)))
+            members.append(did)
+    state.update((members,))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["band", "band_key", "a_id", "b_id", "b_seq"]
+        )
+
+
+def minhash_candidates_stream(
+    stream_df: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup CANDIDATE generation: each arriving
+    document's band keys probe per-bucket keyed state (the doc ids seen
+    in that bucket across the stream's lifetime) and emit one candidate
+    pair per prior member — the incremental form of the batch band
+    self-join (q_dedup_minhash buckets → ngram_jaccard candidates).
+    Emitted when the LATER doc arrives: (a_id earlier, b_id later).
+
+    Band machinery is the exact batch expressions (entry_queries
+    _with_shingles + _minhash_stacked — one md5 per shingle, 8
+    slice-permutations, 2 bands), all JVM-side before the keyed state
+    op, so streaming candidate sets equal batch bucket pairs.
+
+    Where rescoring lives: exact-Jaccard verification needs the
+    documents' shingle sets, which per-bucket state should NOT hold (it
+    would duplicate the corpus into the state store × bands); candidates
+    join back to the stored corpus for rescoring — the standard
+    candidate-generation / verification split (the batch ngram_jaccard
+    IS that verifier). State per bucket = its member-id list: exactly
+    the bucket population the batch self-join materializes, bounded by
+    design of the 16-hex band keys (see BENCH/PLANS.md LSH table —
+    measured max bucket 3-4 on near-uniform data; a pathological
+    all-identical corpus concentrates one bucket, which is a data
+    property, not a plan property)."""
+    from bucketizers_spark.entry_queries import (
+        _minhash_stacked,
+        _with_shingles,
+    )
+
+    if "seq" not in stream_df.columns:
+        raise ValueError("minhash_candidates_stream needs a seq column")
+    stacked = _minhash_stacked(
+        _with_shingles(stream_df), extra_cols=("seq",)
+    )
+    return stacked.groupBy("band", "band_key").applyInPandasWithState(
+        _bucket_pairs_fn,
+        outputStructType=CANDIDATES_SCHEMA,
+        stateStructType=_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
 
 def _make_dedup_fn(id_col: str, seq_col: str | None):
     def fn(

@@ -140,3 +140,89 @@ class TestExactDedupStream:
             if got[d][1] and int(got[d][0][1:]) < 150
         ]
         assert cross
+
+
+class TestMinhashCandidatesStream:
+    @staticmethod
+    def _near_dup_pdf(n: int = 240) -> pd.DataFrame:
+        # docs with ≥3 words; every 4th doc ≥40 repeats an earlier doc's
+        # text with one word changed → high shingle overlap → shared
+        # band keys with the original, arriving ~40 docs later
+        rows = []
+        for i in range(n):
+            base = i - 40 if (i % 4 == 0 and i >= 40) else i
+            words = [f"w{(base * 7 + k) % 97}" for k in range(12)]
+            if base != i:
+                words[-1] = f"tail{i}"
+            rows.append((i, f"d{i:05d}", " ".join(words)))
+        return pd.DataFrame(rows, columns=["seq", "doc_id", "text"])
+
+    def _batch_pairs(self, spark, pdf):
+        from bucketizers_spark.entry_queries import (
+            _minhash_stacked,
+            _with_shingles,
+        )
+
+        df = spark.createDataFrame(pdf, _SCHEMA)
+        stacked = _minhash_stacked(_with_shingles(df))
+        a = stacked.alias("a")
+        b = stacked.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.band").alias("band"),
+            F.col("a.band_key").alias("band_key"),
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+        )
+        return {
+            (r.band, r.band_key, r.x, r.y) for r in pairs.collect()
+        }
+
+    def test_matches_batch_band_self_join(self, spark, workdir):
+        from bucketizers_spark.streaming.dedup_stream import (
+            minhash_candidates_stream,
+        )
+
+        pdf = self._near_dup_pdf()
+        chunk_dir = os.path.join(workdir, "chunks")
+        out_dir = os.path.join(workdir, "out")
+        ckpt = os.path.join(workdir, "ckpt")
+
+        def run():
+            cands = minhash_candidates_stream(
+                _read_stream(spark, chunk_dir)
+            )
+            q = (
+                cands.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        # kill/resume mid-stream: pairs spanning the restart must emit
+        first, rest = pdf.iloc[:120], pdf.iloc[120:]
+        stage_chunks(first, chunk_dir, n_chunks=2)
+        run()
+        stage_chunks(rest, chunk_dir, n_chunks=2, start_index=2)
+        run()
+        got_rows = spark.read.parquet(out_dir).collect()
+        got = {
+            (r.band, r.band_key, *sorted((r.a_id, r.b_id)))
+            for r in got_rows
+        }
+        want = self._batch_pairs(spark, pdf)
+        assert got == want
+        assert len(got) > 40
+        # arrival orientation: a_id arrived before b_id
+        assert all(r.a_id < r.b_id for r in got_rows)
+        # at least one pair spans the kill/resume boundary
+        assert any(
+            int(r.a_id[1:]) < 120 <= int(r.b_id[1:]) for r in got_rows
+        )
