@@ -122,6 +122,51 @@ def minhash_candidates_stream(
     )
 
 
+def lsh_candidates_stream(
+    stream_df: DataFrame,
+    *,
+    dim: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seq_col: str = "seq",
+    bits: int = 16,
+    bands: int = 16,
+    seed: int = 20260816,
+) -> DataFrame:
+    """Streaming sign-LSH near-dup candidates over an EMBEDDING column —
+    the third member of the streaming dedup family (exact / minhash /
+    embedding), sharing the same per-bucket keyed-state kernel as
+    minhash_candidates_stream. Band machinery is the batch operator's
+    (operators/lsh.sign_lsh_buckets — seeded hyperplanes, vectorized
+    Arrow matmul), so streaming candidate sets equal the batch band
+    self-join; exact-cosine rescoring joins candidates back to the
+    stored corpus exactly like the batch emb_near_dup path."""
+    from bucketizers_spark.operators.lsh import sign_lsh_buckets
+
+    buckets = sign_lsh_buckets(
+        stream_df.select(id_col, seq_col, emb_col),
+        emb_col,
+        dim=dim,
+        bits=bits,
+        bands=bands,
+        seed=seed,
+        id_cols=[id_col, seq_col],
+    )
+    keyed = buckets.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(seq_col).alias("seq"),
+        "band",
+        F.col("bucket").alias("band_key"),
+    )
+    return keyed.groupBy("band", "band_key").applyInPandasWithState(
+        _bucket_pairs_fn,
+        outputStructType=CANDIDATES_SCHEMA,
+        stateStructType=_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _make_dedup_fn(id_col: str, seq_col: str | None):
     def fn(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState

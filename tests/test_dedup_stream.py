@@ -226,3 +226,86 @@ class TestMinhashCandidatesStream:
         assert any(
             int(r.a_id[1:]) < 120 <= int(r.b_id[1:]) for r in got_rows
         )
+
+
+class TestLshCandidatesStream:
+    _EMB_SCHEMA = "seq long, vec_id string, embedding array<double>"
+
+    @staticmethod
+    def _emb_pdf() -> pd.DataFrame:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT vec_id, embedding FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 300"
+        ).fetchall()
+        out = []
+        seq = 0
+        for vid, emb in rows:
+            out.append((seq, f"v{int(vid):05d}", list(emb)))
+            seq += 1
+        # plant exact twins of every 10th vector, arriving ~100 later:
+        # identical vectors share every band bucket → guaranteed pairs
+        for vid, emb in rows[::10]:
+            out.append((seq, f"t{int(vid):05d}", list(emb)))
+            seq += 1
+        return pd.DataFrame(out, columns=["seq", "vec_id", "embedding"])
+
+    def test_matches_batch_band_self_join(self, spark, workdir):
+        from bucketizers_spark.operators.lsh import sign_lsh_buckets
+        from bucketizers_spark.streaming.dedup_stream import (
+            lsh_candidates_stream,
+        )
+
+        pdf = self._emb_pdf()
+        chunk_dir = os.path.join(workdir, "chunks")
+        out_dir = os.path.join(workdir, "out")
+        stage_chunks(pdf, chunk_dir, n_chunks=4)
+        stream = (
+            spark.readStream.schema(self._EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(chunk_dir)
+        )
+        cands = lsh_candidates_stream(stream, dim=64)
+        q = (
+            cands.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got_rows = spark.read.parquet(out_dir).collect()
+        got = {
+            (r.band, r.band_key, *sorted((r.a_id, r.b_id)))
+            for r in got_rows
+        }
+        bdf = spark.createDataFrame(pdf, self._EMB_SCHEMA)
+        stacked = sign_lsh_buckets(
+            bdf, "embedding", dim=64, id_cols=["vec_id"]
+        )
+        a, b = stacked.alias("a"), stacked.alias("b")
+        want = {
+            (r.band, r.key, r.x, r.y)
+            for r in a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.band").alias("band"),
+                F.col("a.bucket").alias("key"),
+                F.col("a.vec_id").alias("x"),
+                F.col("b.vec_id").alias("y"),
+            )
+            .collect()
+        }
+        assert got == want
+        # every planted twin collides with its original in all 16 bands
+        twins = {p for p in got if p[2][0] == "t" or p[3][0] == "t"}
+        assert len(twins) >= 16 * len(pdf[pdf.vec_id.str.startswith("t")])
