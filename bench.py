@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_repetition",
     "tfidf_terms",
     "bm25_search",
+    "corpus_stats",
 ]
 
 
