@@ -42,6 +42,8 @@ HEADLINE = [
     "tfidf_terms",
     "bm25_search",
     "corpus_stats",
+    "decontaminate",
+    "segment_dedup",
 ]
 
 

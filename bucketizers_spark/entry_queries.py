@@ -1575,6 +1575,149 @@ SELECT doc_id, score_r4, rk FROM (
 
 
 # --------------------------------------------------------------------------
+# Test-set decontamination: word-n-gram overlap vs a held-out slice
+# --------------------------------------------------------------------------
+_DECON_N = 4  # n-gram length (words)
+_DECON_MOD = 23  # doc_id % mod == 0 -> held-out benchmark slice
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: flag corpus documents sharing any
+    word-4-gram with a held-out benchmark slice (``doc_id % 23 == 0`` —
+    the deterministic stand-in for an eval suite), reporting the count
+    of distinct overlapping grams per contaminated document.
+
+    Scale shape: the benchmark n-gram set is DISTINCT + md5-hashed +
+    broadcast — an eval suite is bounded (thousands of documents, far
+    under the broadcast threshold) no matter how large the corpus is,
+    so the corpus side never shuffles for the probe: grams stream
+    through a broadcast-hash join and only surviving (doc_id, gram_h)
+    pairs reach the per-doc distinct-count shuffle. Grams are md5'd
+    before any wide op so shuffle rows stay 32 bytes + key, never the
+    n-gram text. All expressions are JVM codegen (split / transform /
+    slice / concat_ws / md5); no Python in the path."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = _DECON_N
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
+    )
+    g = docs.where(F.size(words) >= n).select(
+        "doc_id", F.explode(grams).alias("gram_h")
+    )
+    bench = (
+        g.where(F.col("doc_id") % _DECON_MOD == 0)
+        .select("gram_h")
+        .distinct()
+    )
+    return (
+        g.where(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram_h").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - {_DECON_N - 2}),
+                i -> md5(array_to_string(words[i:i + {_DECON_N - 1}], ' '))))
+           AS gram_h
+  FROM w WHERE len(words) >= {_DECON_N}
+),
+bench AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % {_DECON_MOD} = 0)
+SELECT g.doc_id, COUNT(DISTINCT g.gram_h) AS n_hits
+FROM g JOIN bench USING (gram_h)
+WHERE g.doc_id % {_DECON_MOD} <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-document segment dedup (CCNet-style) over fixed word chunks
+# --------------------------------------------------------------------------
+_SEG_LEN = 8  # words per non-overlapping segment
+_SEG_MIN_DOCS = 2  # a segment in >= this many distinct docs is boilerplate
+
+
+def q_segment_dedup(spark, sf_dir):
+    """Cross-document segment-level dedup (the CCNet/line-dedup shape,
+    over fixed 8-word chunks since the synthetic corpus has no
+    newlines): a segment appearing verbatim in >= 2 distinct documents
+    is boilerplate; per affected document report segment counts and the
+    duplicated share.
+
+    Scale shape: segments are md5'd at the map stage, so every wide op
+    moves (doc_id, 32-char hash) rows only — the segment text never
+    shuffles. The duplicated-segment set scales WITH the corpus (unlike
+    the decontamination benchmark) so it is NOT broadcast: the
+    membership join is a shuffle equijoin on seg_h whose build side
+    Catalyst/AQE can still demote to broadcast when it is small; both
+    the dup groupBy and the join partition by seg_h, so the exchange is
+    reusable. One final groupBy on doc_id produces the report."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    sl = _SEG_LEN
+    nseg = F.ceil(F.size(words) / F.lit(float(sl))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda c: F.md5(F.concat_ws(" ", F.slice(words, c * sl + 1, sl))),
+    )
+    seg = docs.select("doc_id", F.explode(segs).alias("seg_h"))
+    dup = (
+        seg.groupBy("seg_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _SEG_MIN_DOCS)
+        .select("seg_h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        seg.join(dup, "seg_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count("is_dup").alias("n_dup_segs"),
+        )
+        .where(F.col("n_dup_segs") > 0)
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_dup_segs",
+            F.round(F.col("n_dup_segs") / F.col("n_segs"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SEGMENT_DEDUP = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+seg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(words) / {_SEG_LEN}.0) AS INT)),
+           c -> md5(array_to_string(
+                  words[c * {_SEG_LEN} + 1 : c * {_SEG_LEN} + {_SEG_LEN}],
+                  ' ')))) AS seg_h
+  FROM w
+),
+dup AS (SELECT seg_h, 1 AS is_dup FROM seg GROUP BY seg_h
+        HAVING COUNT(DISTINCT doc_id) >= {_SEG_MIN_DOCS}),
+agg AS (
+  SELECT s.doc_id, COUNT(*) AS n_segs, COUNT(d.is_dup) AS n_dup_segs
+  FROM seg s LEFT JOIN dup d USING (seg_h) GROUP BY s.doc_id
+)
+SELECT doc_id, n_segs, n_dup_segs,
+       ROUND(CAST(n_dup_segs AS DOUBLE) / n_segs, 4) AS dup_ratio
+FROM agg WHERE n_dup_segs > 0 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # S2 substring / token tries — with generated DuckDB oracles.
 #
 # The trie's sequential capacity allocation IS SQL-expressible at fixed
@@ -2314,6 +2457,8 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "corpus_stats": q_corpus_stats,
+    "decontaminate": q_decontaminate,
+    "segment_dedup": q_segment_dedup,
     "substring_trie": q_substring_trie,
     "substring_trie_relations": q_substring_trie_relations,
     "token_prefix_trie": q_token_prefix_trie,
@@ -2360,6 +2505,8 @@ ORACLES = {
     "tfidf_terms": SQL_TFIDF_TERMS,
     "bm25_search": SQL_BM25_SEARCH,
     "corpus_stats": SQL_CORPUS_STATS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
     "substring_trie": SQL_SUBSTRING_TRIE,
     "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,

@@ -38,6 +38,8 @@ SUBSET = [
     "tfidf_terms",
     "bm25_search",
     "corpus_stats",
+    "decontaminate",
+    "segment_dedup",
 ]
 
 
