@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "ann_topk",
+    "ann_int8",
     "ann_ivf",
     "emb_near_dup",
     "dedup_cluster",

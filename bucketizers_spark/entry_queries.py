@@ -925,6 +925,88 @@ SELECT query_id, vec_id, sim_r4, rk FROM (
 """
 
 
+def q_ann_int8(spark, sf_dir):
+    """Brute-force cosine top-10 over SCALAR-QUANTIZED (int8) vectors:
+    per-vector symmetric quantization q_i = round(x_i / s) with
+    s = max|x|/127. Cosine is scale-invariant, so the quantized cosine
+    needs no dequantization — the int arrays go straight through the
+    same fold as ann_topk.
+
+    Scale shape: this is the bandwidth path for 100 TB embedding scans —
+    an int8 copy of a float32 corpus is 4x smaller on disk, in the scan,
+    and in every shuffle/broadcast; a production deployment materializes
+    the quantized column once and serves from it (recall vs the
+    full-precision baseline is pinned >= 0.9 in pytest; measured ~1.0 on
+    the fixture). Quantization is a narrow JVM map (transform/round);
+    the search is the same broadcast-queries crossJoin + per-query
+    window as the float baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    eq = (
+        emb.withColumn(
+            "_s", F.greatest(amax, F.lit(1e-30)) / F.lit(127.0)
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") / F.col("_s"), 0).cast(
+                    "int"
+                ),
+            ).alias("qv"),
+        )
+    )
+    q = eq.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    joined = F.broadcast(q).crossJoin(eq).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(_cosine(F.col("qq"), F.col("qv")), 4)
+    scored = joined.select("query_id", "vec_id", sim.alias("simq_r4"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("simq_r4").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "simq_r4", "rk")
+    )
+
+
+SQL_ANN_INT8 = """
+WITH sc AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s
+  FROM embeddings
+),
+eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / s, 0) AS INT)) AS qv
+  FROM sc
+),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM eq WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(qq) + 1),
+                    i -> CAST(qq[i] AS DOUBLE) * CAST(e.qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(qq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS simq_r4
+  FROM q, eq e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, simq_r4, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY simq_r4 DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
 # Sign-LSH hyperplanes: random ±1 weights per (band, bit, dim), generated
 # once from a pinned seed and embedded as literals in BOTH dialects.
 # Random hyperplanes decorrelate the bits (leading embedding dimensions are
@@ -2446,6 +2528,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
+    "ann_int8": q_ann_int8,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_recall": q_ann_lsh_recall,
     "emb_near_dup": q_emb_near_dup,
@@ -2494,6 +2577,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_int8": SQL_ANN_INT8,
     "ann_lsh": SQL_ANN_LSH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "emb_near_dup": SQL_EMB_NEAR_DUP,

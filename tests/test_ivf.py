@@ -98,3 +98,23 @@ class TestIvfTopk:
             # all neighbours from the query's own cluster
             qc = qid // 25
             assert all(r["vec_id"] // 25 == qc for r in rs)
+
+
+class TestInt8Quantization:
+    """Scalar-quantized ANN (entry_queries.q_ann_int8): the int8 copy is
+    the 4x-bandwidth scan path; recall@10 vs the full-precision
+    brute-force baseline must stay near-lossless."""
+
+    def test_recall_vs_full_precision(self, spark):
+        from bucketizers_spark.entry_queries import q_ann_int8, q_ann_topk
+
+        sf = "/root/testdata/sf0.001"
+        full = {
+            (r.query_id, r.vec_id) for r in q_ann_topk(spark, sf).collect()
+        }
+        quant = {
+            (r.query_id, r.vec_id) for r in q_ann_int8(spark, sf).collect()
+        }
+        assert len(full) == 50 and len(quant) == 50
+        recall = len(full & quant) / len(full)
+        assert recall >= 0.9, f"int8 recall@10 degraded: {recall}"

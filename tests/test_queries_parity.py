@@ -27,6 +27,7 @@ SUBSET = [
     "dedup_simhash",
     "dedup_cluster",
     "ann_topk",
+    "ann_int8",
     "ann_ivf",
     "ann_ivf_kmeans",
     "sample_stratified",
