@@ -1678,15 +1678,14 @@ def q_decontaminate(spark, sf_dir):
     before any wide op so shuffle rows stay 32 bytes + key, never the
     n-gram text. All expressions are JVM codegen (split / transform /
     slice / concat_ws / md5); no Python in the path."""
+    from bucketizers_spark.functions.ngrams import word_ngram_hashes
+
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n = _DECON_N
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
-    )
-    g = docs.where(F.size(words) >= n).select(
-        "doc_id", F.explode(grams).alias("gram_h")
+    g = docs.select(
+        "doc_id",
+        F.explode(word_ngram_hashes(F.col("text"), _DECON_N)).alias(
+            "gram_h"
+        ),
     )
     bench = (
         g.where(F.col("doc_id") % _DECON_MOD == 0)
@@ -1741,15 +1740,13 @@ def q_segment_dedup(spark, sf_dir):
     Catalyst/AQE can still demote to broadcast when it is small; both
     the dup groupBy and the join partition by seg_h, so the exchange is
     reusable. One final groupBy on doc_id produces the report."""
+    from bucketizers_spark.functions.ngrams import segment_hashes
+
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    sl = _SEG_LEN
-    nseg = F.ceil(F.size(words) / F.lit(float(sl))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), nseg - 1),
-        lambda c: F.md5(F.concat_ws(" ", F.slice(words, c * sl + 1, sl))),
+    seg = docs.select(
+        "doc_id",
+        F.explode(segment_hashes(F.col("text"), _SEG_LEN)).alias("seg_h"),
     )
-    seg = docs.select("doc_id", F.explode(segs).alias("seg_h"))
     dup = (
         seg.groupBy("seg_h")
         .agg(F.countDistinct("doc_id").alias("nd"))
