@@ -1657,6 +1657,74 @@ SELECT doc_id, score_r4, rk FROM (
 
 
 # --------------------------------------------------------------------------
+# Data-mixture balancing sampler (equal per-language representation)
+# --------------------------------------------------------------------------
+_MIX_TARGET_PER_LANG = 50  # target docs per language in the mixture
+
+
+def q_mix_sample(spark, sf_dir):
+    """Training-data mixture balancing: downsample each language to a
+    target per-language share (rate_g = min(1, target / n_g)), sampling
+    deterministically by md5(doc_id) so the draw is stable under task
+    retries and replays (same property as sample_stratified; rand()
+    would re-draw). The computed rate is quantized to a 2-hex-char
+    threshold so BOTH engines compare strings — no hex→int parsing in
+    the hot path and no float-boundary divergence.
+
+    Scale shape: one tiny agg (per-language counts — bounded by the
+    language inventory) broadcast back onto the corpus; the corpus side
+    is a narrow map + filter, zero corpus shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    target = float(_MIX_TARGET_PER_LANG)
+    th = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "lang",
+            F.when(F.lit(target) / F.col("n") >= 1, F.lit("zz"))
+            .otherwise(
+                F.lower(
+                    F.lpad(
+                        F.hex(
+                            F.floor(
+                                F.least(
+                                    F.lit(1.0), F.lit(target) / F.col("n")
+                                )
+                                * 256
+                            ).cast("int")
+                        ),
+                        2,
+                        "0",
+                    )
+                )
+            )
+            .alias("th"),
+        )
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .select("doc_id", "lang", key.alias("sample_key"))
+        .where(key < F.col("th"))
+    )
+
+
+SQL_MIX_SAMPLE = f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+th AS (SELECT lang,
+        CASE WHEN {_MIX_TARGET_PER_LANG}.0 / n >= 1 THEN 'zz'
+             ELSE lower(lpad(hex(CAST(floor(
+                    least(1.0, {_MIX_TARGET_PER_LANG}.0 / n) * 256) AS INT)),
+                  2, '0'))
+        END AS th
+       FROM cnt)
+SELECT d.doc_id, d.lang, substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS sample_key
+FROM documents d JOIN th USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < th.th
+"""
+
+
+# --------------------------------------------------------------------------
 # Test-set decontamination: word-n-gram overlap vs a held-out slice
 # --------------------------------------------------------------------------
 _DECON_N = 4  # n-gram length (words)
@@ -2539,6 +2607,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
     "segment_dedup": q_segment_dedup,
+    "mix_sample": q_mix_sample,
     "substring_trie": q_substring_trie,
     "substring_trie_relations": q_substring_trie_relations,
     "token_prefix_trie": q_token_prefix_trie,
@@ -2588,6 +2657,7 @@ ORACLES = {
     "corpus_stats": SQL_CORPUS_STATS,
     "decontaminate": SQL_DECONTAMINATE,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "mix_sample": SQL_MIX_SAMPLE,
     "substring_trie": SQL_SUBSTRING_TRIE,
     "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,

@@ -41,6 +41,7 @@ SUBSET = [
     "corpus_stats",
     "decontaminate",
     "segment_dedup",
+    "mix_sample",
 ]
 
 
