@@ -45,6 +45,7 @@ HEADLINE = [
     "corpus_stats",
     "decontaminate",
     "segment_dedup",
+    "mix_sample",
 ]
 
 
