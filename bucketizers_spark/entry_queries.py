@@ -1738,11 +1738,16 @@ def q_decontaminate(spark, sf_dir):
     of distinct overlapping grams per contaminated document.
 
     Scale shape: the benchmark n-gram set is DISTINCT + md5-hashed +
-    broadcast — an eval suite is bounded (thousands of documents, far
-    under the broadcast threshold) no matter how large the corpus is,
-    so the corpus side never shuffles for the probe: grams stream
-    through a broadcast-hash join and only surviving (doc_id, gram_h)
-    pairs reach the per-doc distinct-count shuffle. Grams are md5'd
+    broadcast, so the corpus side never shuffles for the probe: grams
+    stream through a broadcast-hash join and only surviving
+    (doc_id, gram_h) pairs reach the per-doc distinct-count shuffle.
+    VALIDITY BOUND of the broadcast hint: it encodes the production
+    shape, where the benchmark is an external eval suite — bounded
+    (thousands of documents → at most a few hundred MB of distinct
+    gram hashes) no matter how large the corpus grows. The
+    ``doc_id % 23`` slice here is only the fixture's stand-in for that
+    external table; a benchmark side that actually scaled WITH the
+    corpus would need the hint dropped so AQE picks the join. Grams are md5'd
     before any wide op so shuffle rows stay 32 bytes + key, never the
     n-gram text. All expressions are JVM codegen (split / transform /
     slice / concat_ws / md5); no Python in the path."""

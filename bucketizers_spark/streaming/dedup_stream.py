@@ -219,3 +219,81 @@ def exact_dedup_stream(
         )
         .drop("_h")
     )
+
+
+_SEG_COUNT_STATE = T.StructType([T.StructField("n_docs", T.LongType())])
+
+_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("seg_h", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("is_boilerplate", T.BooleanType()),
+    ]
+)
+
+
+def _make_segment_count_fn(min_docs: int):
+    def fn(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n = int(state.get[0]) if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["seq", "doc_id"]).reset_index(drop=True)
+            seg_h = str(pdf["seg_h"].iloc[0])
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n += 1
+                rows.append((seg_h, int(doc_id), n, n >= min_docs))
+            yield pd.DataFrame(
+                rows,
+                columns=["seg_h", "doc_id", "n_docs", "is_boilerplate"],
+            )
+        state.update((n,))
+
+    return fn
+
+
+def segment_count_stream(
+    stream_df: DataFrame,
+    *,
+    seg_len: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming cross-batch segment-level dedup — the incremental form
+    of the batch ``segment_dedup`` query: count, per md5'd
+    non-overlapping ``seg_len``-word chunk, the documents that have
+    carried it across the stream's lifetime, tagging each occurrence
+    with the running count and a boilerplate flag once ``min_docs`` is
+    reached. Incremental semantics are first-K-arrivals-unflagged (the
+    honest answer any incremental system gives — early copies of a
+    segment cannot know the future); the FINAL per-segment counts and
+    the ever-boilerplate segment set equal the batch computation, which
+    the pytest pins.
+
+    Scale shape: segments are md5'd and row-level DISTINCT'd (one
+    (doc, segment) pair per row, so state is a plain count — no doc-id
+    lists) before the explode; the keyed state op shuffles once per
+    micro-batch on seg_h; state = one long per distinct segment hash.
+    Gram derivation is shared with batch via functions/ngrams.py."""
+    from bucketizers_spark.functions.ngrams import segment_hashes
+
+    if "seq" not in stream_df.columns:
+        raise ValueError("segment_count_stream needs a seq column")
+    seg = stream_df.select(
+        F.col(id_col).alias("doc_id"),
+        "seq",
+        F.explode(
+            F.array_distinct(segment_hashes(F.col(text_col), seg_len))
+        ).alias("seg_h"),
+    )
+    return seg.groupBy("seg_h").applyInPandasWithState(
+        _make_segment_count_fn(min_docs),
+        outputStructType=_SEG_SCHEMA,
+        stateStructType=_SEG_COUNT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
