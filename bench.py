@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk",
     "ann_int8",
+    "ann_pq",
     "ann_ivf",
     "emb_near_dup",
     "dedup_cluster",

@@ -28,6 +28,7 @@ SUBSET = [
     "dedup_cluster",
     "ann_topk",
     "ann_int8",
+    "ann_pq",
     "ann_ivf",
     "ann_ivf_kmeans",
     "sample_stratified",
