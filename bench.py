@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_topk",
     "ann_int8",
     "ann_pq",
+    "ann_pq_rescore",
     "ann_ivf",
     "emb_near_dup",
     "dedup_cluster",

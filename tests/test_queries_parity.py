@@ -29,6 +29,7 @@ SUBSET = [
     "ann_topk",
     "ann_int8",
     "ann_pq",
+    "ann_pq_rescore",
     "ann_ivf",
     "ann_ivf_kmeans",
     "sample_stratified",
