@@ -548,3 +548,58 @@ class TestSubjectProperty:
         assert _rel_set(
             res.relations.unionByName(fb.relations)
         ) == _oracle_rel_set(orels)
+
+
+class TestNgramHelpersProperty:
+    """functions/ngrams.py vs a direct Python recomputation over random
+    word lists — the helpers feed decontaminate/segment_dedup AND the
+    streaming jobs, so gram identity is load-bearing."""
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from("ab cd ef gh xyzzy lorem".split()),
+                min_size=1,
+                max_size=24,
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        st.integers(min_value=2, max_value=6),
+    )
+    def test_ngram_and_segment_hashes_match_python(
+        self, spark, word_lists, n
+    ):
+        import hashlib
+
+        from bucketizers_spark.functions.ngrams import (
+            segment_hashes,
+            word_ngram_hashes,
+        )
+
+        rows = [(i, " ".join(ws)) for i, (ws) in enumerate(word_lists)]
+        df = spark.createDataFrame(rows, "i long, text string")
+        got = {
+            r.i: (r.g, r.s)
+            for r in df.select(
+                "i",
+                word_ngram_hashes(F.col("text"), n).alias("g"),
+                segment_hashes(F.col("text"), n).alias("s"),
+            ).collect()
+        }
+        md5 = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+        for i, ws in enumerate(word_lists):
+            grams = [
+                md5(" ".join(ws[j : j + n]))
+                for j in range(len(ws) - n + 1)
+            ]
+            nseg = -(-len(ws) // n)
+            segs = [
+                md5(" ".join(ws[c * n : (c + 1) * n])) for c in range(nseg)
+            ]
+            assert got[i] == (grams, segs), (i, ws, n)
