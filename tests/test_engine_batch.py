@@ -485,3 +485,38 @@ class TestPlanShapes:
         )
         plan = self._plan(tumbling_bucketizer(df, "ts", "10 minutes").assignments)
         assert "Exchange" not in plan
+
+
+class TestNewQueryPlanShapes:
+    """Plan pins for the r5 corpus queries: the probe joins that must
+    stay broadcast (a SortMergeJoin sneaking in means the corpus side
+    started shuffling for the probe — a 100 TB regression)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_decontaminate_probe_is_broadcast(self, spark):
+        from bucketizers_spark.entry_queries import q_decontaminate
+
+        plan = self._plan(q_decontaminate(spark, self.SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_mix_sample_rate_join_is_broadcast(self, spark):
+        from bucketizers_spark.entry_queries import q_mix_sample
+
+        plan = self._plan(q_mix_sample(spark, self.SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_quantized_ann_paths_never_sort_merge(self, spark):
+        from bucketizers_spark.entry_queries import (
+            q_ann_int8,
+            q_ann_pq_rescore,
+        )
+
+        for q in (q_ann_int8, q_ann_pq_rescore):
+            assert "SortMergeJoin" not in self._plan(q(spark, self.SF))
