@@ -34,6 +34,7 @@ HEADLINE = [
     "ann_int8",
     "ann_pq",
     "ann_pq_rescore",
+    "ann_ivfpq",
     "ann_ivf",
     "emb_near_dup",
     "dedup_cluster",

@@ -1095,14 +1095,100 @@ def q_ann_pq_rescore(spark, sf_dir):
     )
 
 
-def _pq_adc_scored(spark, sf_dir):
-    """Shared PQ machinery: codebook build (JVM-side), per-vector
-    encoding, and the ADC score per (query, vector) pair — returns
-    (query_id, vec_id, adc_r4, qe)."""
+def q_ann_ivfpq(spark, sf_dir):
+    """IVFADC — the production composite of the two index families this
+    repo builds separately: IVF cell pruning (ann_ivf) picks WHICH
+    vectors to look at, PQ asymmetric distance (ann_pq) makes looking
+    CHEAP, and an exact rescore of the shortlist restores accuracy
+    (ann_pq_rescore). This is the FAISS IVFADC serving shape (Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011), non-residual variant so the codebook is shared verbatim with
+    ann_pq and the DuckDB oracle replays every stage.
+
+    Stages: (1) corpus → nearest-of-16 lowest-id centroids (one
+    broadcast argmax, operators/ivf.assign_cells) and → 8-byte PQ codes
+    (narrow JVM map, shared _pq_encoded); (2) each query probes its 4
+    nearest cells; (3) ADC scores ONLY vectors in probed cells — the
+    cell equijoin replaces ann_pq's full-corpus scan, cutting scanned
+    codes to ~nprobe/K of the corpus on top of PQ's 32x byte shrink;
+    (4) ADC shortlist-50 per query, exact L2 rescore of only the
+    shortlist (broadcast equijoin), top-10 by exact distance.
+
+    Scale shape: centroids and codebook broadcast (O(K·dim) each);
+    cells+codes persist at production (operators/ivf_index.py pattern);
+    the probe is an equijoin on cell — never all-pairs; the only wide
+    ops are the per-query top-k windows over cell-bounded candidate
+    sets. Every vector lives in exactly one cell, so no multi-probe
+    dedup is needed."""
+    from bucketizers_spark.operators.ivf import (
+        assign_cells,
+        lowest_id_centroids,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    m_, k_, d_ = _PQ_M, _PQ_K, _PQ_D
-    # flattened codebook: cbflat[(m*K + j)*D + d] = emb_j[m*D + d]
-    cb = emb.where(F.col("vec_id") < k_).agg(
+    cb = _pq_codebook(emb)
+    enc = _pq_encoded(emb, cb)
+    cents = lowest_id_centroids(emb, _IVF_K)
+    cells = assign_cells(emb, cents)
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qe",
+        F.col("c_id").alias("cell"),
+        F.round(_cosine(F.col("qe"), F.col("ce")), 4).alias("_cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("cell")
+    )
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= _IVF_NPROBE)
+        .select("query_id", "qe", "cell")
+    )
+
+    # ADC over probed cells only: codes ⋈ cells on vec_id (both slim),
+    # then the cell equijoin against the broadcast probe frame.
+    cand = (
+        F.broadcast(probes)
+        .join(enc.join(cells, "vec_id"), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(cb))
+    )
+    scored = cand.select(
+        "query_id", "vec_id", F.round(_pq_adc_col(), 4).alias("adc_r4"),
+        "qe",
+    )
+    w50 = Window.partitionBy("query_id").orderBy("adc_r4", "vec_id")
+    short = (
+        scored.withColumn("_c", F.row_number().over(w50))
+        .where(F.col("_c") <= 50)
+        .select("query_id", "vec_id", "qe")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("qe"), F.col("embedding"), lambda x, y: _pq_sq(x, y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rescored = F.broadcast(short).join(emb, "vec_id").select(
+        "query_id", "vec_id", F.round(l2, 4).alias("l2_r4")
+    )
+    w = Window.partitionBy("query_id").orderBy("l2_r4", "vec_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id", "l2_r4", "rk")
+    )
+
+
+def _pq_codebook(emb):
+    """One-row flattened lowest-id codebook, built JVM-side (no driver
+    collect): cbflat[(m*K + j)*D + d] = emb_j[m*D + d]."""
+    return emb.where(F.col("vec_id") < _PQ_K).agg(
         F.flatten(
             F.transform(
                 F.array_sort(
@@ -1114,6 +1200,13 @@ def _pq_adc_scored(spark, sf_dir):
             )
         ).alias("cbflat")
     )
+
+
+def _pq_encoded(emb, cb):
+    """(vec_id, codes): each vector's nearest codebook entry per
+    subspace by L2, ties to the lowest code — a pure nested-HOF JVM
+    narrow map over emb × the broadcast one-row codebook."""
+    m_, k_, d_ = _PQ_M, _PQ_K, _PQ_D
     ev = emb.crossJoin(F.broadcast(cb))
 
     def sub_d2(vec, m, j):
@@ -1139,15 +1232,15 @@ def _pq_adc_scored(spark, sf_dir):
         ).cast("int")
         - 1,
     )
-    enc = ev.select("vec_id", codes.alias("codes"))
-    q = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    joined = (
-        enc.crossJoin(F.broadcast(q.crossJoin(cb)))
-        .where(F.col("vec_id") != F.col("query_id"))
-    )
-    adc = F.aggregate(
+    return ev.select("vec_id", codes.alias("codes"))
+
+
+def _pq_adc_col():
+    """ADC score column: sum over subspaces of the exact L2^2 between
+    the query subvector (`qe`) and the candidate's coded centroid
+    (`codes` indexing `cbflat`); all three columns must be in scope."""
+    m_, k_, d_ = _PQ_M, _PQ_K, _PQ_D
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(m_ - 1)),
         F.lit(0.0),
         lambda acc, m: acc
@@ -1165,13 +1258,45 @@ def _pq_adc_scored(spark, sf_dir):
             ),
         ),
     )
+
+
+def _pq_adc_scored(spark, sf_dir):
+    """Shared PQ machinery: codebook build (JVM-side), per-vector
+    encoding, and the ADC score per (query, vector) pair — returns
+    (query_id, vec_id, adc_r4, qe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(emb)
+    enc = _pq_encoded(emb, cb)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = (
+        enc.crossJoin(F.broadcast(q.crossJoin(cb)))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
     return joined.select(
-        "query_id", "vec_id", F.round(adc, 4).alias("adc_r4"), "qe"
+        "query_id", "vec_id", F.round(_pq_adc_col(), 4).alias("adc_r4"),
+        "qe",
     )
 
 
-_PQ_CTE_PREFIX = f"""
-WITH cb AS (
+def _sql_pq_adc(qe: str, codes: str) -> str:
+    """The ADC score expression (sum over subspaces of exact L2^2 to
+    the coded centroid), shared by the full-scan and the IVF-pruned
+    oracles; `cb` must be in the FROM scope."""
+    return f"""round(
+           list_sum(list_transform(range(0, {_PQ_M}), m ->
+             list_sum(list_transform(range(1, {_PQ_D} + 1), d ->
+               (CAST({qe}[m * {_PQ_D} + d] AS DOUBLE)
+                - cb.cbflat[(m * {_PQ_K} + {codes}[m + 1]) * {_PQ_D} + d])
+               * (CAST({qe}[m * {_PQ_D} + d] AS DOUBLE)
+                  - cb.cbflat[(m * {_PQ_K} + {codes}[m + 1]) * {_PQ_D} + d]))))),
+           4)"""
+
+
+# cb (flattened lowest-id codebook) + enc (per-vector codes) + q (the
+# query frame) — the CTEs every PQ oracle shares.
+_PQ_CB_ENC_CTES = f"""cb AS (
   SELECT flatten(list(list_transform(embedding, x -> CAST(x AS DOUBLE))
                       ORDER BY vec_id)) AS cbflat
   FROM embeddings WHERE vec_id < {_PQ_K}
@@ -1196,17 +1321,14 @@ enc AS (
            ) AS INT) - 1) AS codes
   FROM embeddings e, cb
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)"""
+
+
+_PQ_CTE_PREFIX = f"""
+WITH {_PQ_CB_ENC_CTES},
 scored AS (
   SELECT q.query_id, enc.vec_id,
-         round(
-           list_sum(list_transform(range(0, {_PQ_M}), m ->
-             list_sum(list_transform(range(1, {_PQ_D} + 1), d ->
-               (CAST(q.qe[m * {_PQ_D} + d] AS DOUBLE)
-                - cb.cbflat[(m * {_PQ_K} + enc.codes[m + 1]) * {_PQ_D} + d])
-               * (CAST(q.qe[m * {_PQ_D} + d] AS DOUBLE)
-                  - cb.cbflat[(m * {_PQ_K} + enc.codes[m + 1]) * {_PQ_D} + d]))))),
-           4) AS adc_r4
+         {_sql_pq_adc('q.qe', 'enc.codes')} AS adc_r4
   FROM enc, q, cb WHERE enc.vec_id <> q.query_id
 )
 """
@@ -2535,6 +2657,65 @@ WITH cents AS (
 {_SQL_IVF_SEARCH}
 """
 
+# IVFADC: the shared PQ CTEs (cb/enc/q) + the shared IVF cell CTEs,
+# ADC restricted to probed cells, shortlist-50, exact-L2 rescore.
+# Stage-for-stage replay of q_ann_ivfpq.
+SQL_ANN_IVFPQ = f"""
+WITH {_PQ_CB_ENC_CTES},
+cents AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
+),
+cscored AS (
+  SELECT e.vec_id, c.c_id,
+         {_SQL_COS.format(a='e.embedding', b='c.ce')} AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT vec_id, c_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT q.query_id, q.qe, c.c_id AS cell,
+         {_SQL_COS.format(a='q.qe', b='c.ce')} AS cs
+  FROM q CROSS JOIN cents c
+),
+probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT query_id, qe, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cell) AS pr
+    FROM qcells
+  ) WHERE pr <= {_IVF_NPROBE}
+),
+pscored AS (
+  SELECT p.query_id, m.vec_id,
+         {_sql_pq_adc('p.qe', 'enc.codes')} AS adc_r4
+  FROM probes p
+  JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_id
+  JOIN enc ON enc.vec_id = m.vec_id
+  CROSS JOIN cb
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_r4, vec_id) AS c
+    FROM pscored) WHERE c <= 50
+),
+rescored AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_sum(list_transform(range(1, len(q.qe) + 1), d ->
+           (CAST(q.qe[d] AS DOUBLE) - CAST(e.embedding[d] AS DOUBLE))
+           * (CAST(q.qe[d] AS DOUBLE) - CAST(e.embedding[d] AS DOUBLE)))), 4) AS l2_r4
+  FROM short s JOIN q ON s.query_id = q.query_id
+               JOIN embeddings e ON s.vec_id = e.vec_id
+)
+SELECT query_id, vec_id, l2_r4, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY l2_r4, vec_id) AS rk
+  FROM rescored
+) WHERE rk <= 10
+"""
+
 
 def _sql_kmeans_ctes(k: int, iters: int, sample_n: int) -> str:
     """Replay operators/ivf.kmeans_centroids verbatim as unrolled-Lloyd
@@ -2833,6 +3014,7 @@ QUERIES = {
     "ann_int8": q_ann_int8,
     "ann_pq": q_ann_pq,
     "ann_pq_rescore": q_ann_pq_rescore,
+    "ann_ivfpq": q_ann_ivfpq,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_recall": q_ann_lsh_recall,
     "emb_near_dup": q_emb_near_dup,
@@ -2885,6 +3067,7 @@ ORACLES = {
     "ann_int8": SQL_ANN_INT8,
     "ann_pq": SQL_ANN_PQ,
     "ann_pq_rescore": SQL_ANN_PQ_RESCORE,
+    "ann_ivfpq": SQL_ANN_IVFPQ,
     "ann_lsh": SQL_ANN_LSH,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "emb_near_dup": SQL_EMB_NEAR_DUP,

@@ -520,3 +520,12 @@ class TestNewQueryPlanShapes:
 
         for q in (q_ann_int8, q_ann_pq_rescore):
             assert "SortMergeJoin" not in self._plan(q(spark, self.SF))
+
+    def test_ivfpq_probe_and_rescore_broadcast(self, spark):
+        # IVFADC: probes/centroids/codebook/shortlist sides all
+        # broadcast; the enc⋈cells equijoin on vec_id MAY legitimately
+        # shuffle at scale (both sides are corpus-sized slim frames),
+        # so only the broadcast presence is pinned, not SMJ absence.
+        from bucketizers_spark.entry_queries import q_ann_ivfpq
+
+        assert "BroadcastHashJoin" in self._plan(q_ann_ivfpq(spark, self.SF))

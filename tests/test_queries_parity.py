@@ -30,6 +30,7 @@ SUBSET = [
     "ann_int8",
     "ann_pq",
     "ann_pq_rescore",
+    "ann_ivfpq",
     "ann_ivf",
     "ann_ivf_kmeans",
     "sample_stratified",
