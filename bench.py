@@ -46,6 +46,7 @@ HEADLINE = [
     "tfidf_terms",
     "bm25_search",
     "corpus_stats",
+    "lm_score",
     "decontaminate",
     "segment_dedup",
     "mix_sample",

@@ -1772,6 +1772,78 @@ FROM per GROUP BY lang
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """Per-language unigram-LM document scoring — the perplexity-proxy
+    quality filter of CCNet-style pipelines (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020, which ranks docs by LM perplexity; a unigram LM is its
+    deterministic, SQL-replayable core): train p(w|lang) = cnt/total on
+    the corpus itself, score each doc by the mean negative
+    log-likelihood of its words under its OWN language's LM. High nll =
+    rare-word soup (noise, boilerplate hashes); low nll = stopword
+    soup. Downstream use: threshold or stratify on nll_r4.
+
+    Scale shape: ONE text scan — the explode collapses immediately to
+    per-doc word counts (dw: doc_id, lang, w, cnt), and everything wide
+    happens over that slim frame: the LM is dw re-aggregated by
+    (lang, w) (map-side combinable), lang totals derive from the LM
+    (never a second corpus pass), and the scoring join is a shuffle
+    equijoin on (lang, w) — NOT broadcast, vocabulary scales with the
+    corpus (same reasoning as segment_dedup's dup-set join; the lang
+    totals frame IS broadcast — bounded by the language inventory).
+    Hot stopword keys are exactly the AQE skew-join case; at fixed
+    vocabulary the LM could optionally be broadcast, the documented
+    tfidf_terms trade-off."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    dw = words.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("dcnt")
+    ).localCheckpoint()  # dw feeds the LM build AND the scoring join;
+    # without this the exploded-text lineage (a full corpus scan) is
+    # re-derived three times — same fix as tfidf_terms/bm25_search
+    lm = dw.groupBy("lang", "w").agg(F.sum("dcnt").alias("cnt"))
+    tot = lm.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    lmp = lm.join(F.broadcast(tot), "lang")
+    nll = -F.log(F.col("cnt").cast("double") / F.col("tot"))
+    scored = dw.join(lmp, ["lang", "w"]).select(
+        "doc_id", "lang", "dcnt", nll.alias("nll")
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.sum("dcnt").alias("n_words"),
+        F.round(
+            F.sum(F.col("dcnt") * F.col("nll")) / F.sum("dcnt"), 4
+        ).alias("nll_r4"),
+    )
+
+
+SQL_LM_SCORE = """
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, lang, w, count(*) AS dcnt
+  FROM w GROUP BY doc_id, lang, w
+),
+lm AS (SELECT lang, w, sum(dcnt) AS cnt FROM dw GROUP BY lang, w),
+tot AS (SELECT lang, sum(cnt) AS tot FROM lm GROUP BY lang),
+scored AS (
+  SELECT dw.doc_id, dw.lang, dw.dcnt,
+         -ln(CAST(lm.cnt AS DOUBLE) / tot.tot) AS nll
+  FROM dw JOIN lm ON dw.lang = lm.lang AND dw.w = lm.w
+          JOIN tot ON dw.lang = tot.lang
+)
+SELECT doc_id, lang,
+       CAST(sum(dcnt) AS BIGINT) AS n_words,
+       round(sum(dcnt * nll) / sum(dcnt), 4) AS nll_r4
+FROM scored GROUP BY doc_id, lang
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Intra-document repetition metrics — the training-data quality
     signal that catches boilerplate/looped generations: distinct-word
@@ -3026,6 +3098,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "corpus_stats": q_corpus_stats,
+    "lm_score": q_lm_score,
     "decontaminate": q_decontaminate,
     "segment_dedup": q_segment_dedup,
     "mix_sample": q_mix_sample,
@@ -3079,6 +3152,7 @@ ORACLES = {
     "tfidf_terms": SQL_TFIDF_TERMS,
     "bm25_search": SQL_BM25_SEARCH,
     "corpus_stats": SQL_CORPUS_STATS,
+    "lm_score": SQL_LM_SCORE,
     "decontaminate": SQL_DECONTAMINATE,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "mix_sample": SQL_MIX_SAMPLE,

@@ -42,6 +42,7 @@ SUBSET = [
     "tfidf_terms",
     "bm25_search",
     "corpus_stats",
+    "lm_score",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
