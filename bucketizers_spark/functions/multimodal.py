@@ -106,22 +106,25 @@ def _parse_ppm(data: bytes):
 
 def _parse_png(data: bytes) -> np.ndarray:
     """Decode a non-interlaced 8-bit-depth PNG (grayscale, gray+alpha,
-    RGB, RGBA) into an (h, w, channels) float64 array in [0, 1] with
-    stdlib zlib only — no PIL. Critical-chunk parse (IHDR/IDAT/IEND;
-    ancillary chunks skipped), zlib inflate, then per-scanline unfilter
-    of the five standard filter types (None/Sub/Up/Average/Paeth).
-    Palette (color type 3), 16-bit depth, and Adam7 interlace raise
-    NotImplementedError — they fall to the honest codec seam like any
-    other unavailable format. The Sub/Average/Paeth inner loops are
-    per-byte Python: exact, and acceptable for the feature-extraction
-    batch sizes this seam handles in-container (a production cluster
-    swaps in PIL behind the same seam)."""
+    RGB, RGBA, and 8-bit palette/indexed via PLTE) into an
+    (h, w, channels) float64 array in [0, 1] with stdlib zlib only — no
+    PIL. Critical-chunk parse (IHDR/PLTE/IDAT/IEND; ancillary chunks
+    skipped), zlib inflate, per-scanline unfilter of the five standard
+    filter types (None/Sub/Up/Average/Paeth), then palette images map
+    their index plane through PLTE to RGB. 16-bit depth, sub-byte
+    palette depths, and Adam7 interlace raise NotImplementedError —
+    they fall to the honest codec seam like any other unavailable
+    format. The Sub/Average/Paeth inner loops are per-byte Python:
+    exact, and acceptable for the feature-extraction batch sizes this
+    seam handles in-container (a production cluster swaps in PIL behind
+    the same seam)."""
     import struct
     import zlib
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     ihdr = None
+    plte = None
     idat = bytearray()
     pos = 8
     while pos + 8 <= len(data):
@@ -131,6 +134,8 @@ def _parse_png(data: bytes) -> np.ndarray:
         pos += 12 + ln  # length + type + payload + CRC
         if typ == b"IHDR":
             ihdr = chunk
+        elif typ == b"PLTE":
+            plte = chunk
         elif typ == b"IDAT":
             idat += chunk
         elif typ == b"IEND":
@@ -145,11 +150,15 @@ def _parse_png(data: bytes) -> np.ndarray:
             f"PNG depth={depth} interlace={interlace} not supported "
             "natively; run with fake=True or install PIL on the cluster"
         )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    # scanline channels; palette rasters carry ONE index byte per pixel
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(
-            f"PNG color type {ctype} (palette) not supported natively"
+            f"PNG color type {ctype} not supported natively"
         )
+    if ctype == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE")
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(raw) < (stride + 1) * h:
@@ -187,6 +196,12 @@ def _parse_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = row
         prev = out[y]
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[idx].astype(np.float64) / 255.0
     return out.reshape(h, w, channels).astype(np.float64) / 255.0
 
 

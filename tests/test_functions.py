@@ -139,18 +139,20 @@ class TestMultimodal:
         assert len(got["p6"].phash) == 16
 
     @staticmethod
-    def _png(arr, filters):
+    def _png(arr, filters, palette=None):
         """Minimal PNG encoder for the test: 8-bit, non-interlaced,
         ``filters[y]`` chooses each scanline's filter type (0-4) so the
         decoder's whole unfilter matrix is exercised — the inverse of
-        multimodal._parse_png's per-type reconstruction."""
+        multimodal._parse_png's per-type reconstruction. With
+        ``palette`` (an (n, 3) uint8 array), ``arr`` is an (h, w, 1)
+        index plane and the file is written as color type 3 + PLTE."""
         import struct
         import zlib
 
         import numpy as np
 
         h, w, nch = arr.shape
-        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+        ctype = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[nch]
         bpp = nch
 
         def chunk(typ, payload):
@@ -188,9 +190,13 @@ class TestMultimodal:
             raw += bytes((enc % 256).astype(np.uint8))
             prev = row
         ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        plte = (
+            b"" if palette is None else chunk(b"PLTE", bytes(palette.reshape(-1)))
+        )
         return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
+            + plte
             + chunk(b"tEXt", b"comment\x00ancillary chunk skipped")
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b"")
@@ -246,6 +252,53 @@ class TestMultimodal:
         assert got["rgba"].phash == got["rgb"].phash
         assert got["gray"].n_channels == 1
         assert abs(got["gray"].mean_luma - float(gray.mean() / 255.0)) < 1e-9
+
+    def test_real_png_palette_decode(self, spark):
+        """Color type 3: the index plane unfilters like grayscale, then
+        maps through PLTE to RGB — decoded raster equals pal[idx]
+        exactly, and features match an equivalent truecolor PNG of the
+        same pixels. Malformed palettes fail loudly."""
+        import numpy as np
+        import pytest
+
+        from bucketizers_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            _parse_png,
+        )
+
+        rng = np.random.default_rng(11)
+        w, h = 19, 13
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (h, w, 1), dtype=np.uint8)
+        png_pal = self._png(idx, filters=[0, 1, 2, 3, 4], palette=pal)
+        rgb = pal[idx.reshape(h, w)]
+        assert np.array_equal(
+            (_parse_png(png_pal) * 255).round().astype(np.uint8), rgb
+        )
+        # same pixels as truecolor → identical features through Spark
+        png_rgb = self._png(rgb, filters=[4, 2, 0])
+        df = spark.createDataFrame(
+            [
+                ("pal", "image", png_pal, "image/png", w, h, None),
+                ("tru", "image", png_rgb, "image/png", w, h, None),
+            ],
+            MEDIA_SCHEMA,
+        )
+        got = {
+            r.media_id: r for r in image_features(df, fake=False).collect()
+        }
+        assert got["pal"].n_channels == 3
+        assert got["pal"].phash == got["tru"].phash
+        assert abs(got["pal"].mean_luma - got["tru"].mean_luma) < 1e-12
+        # index beyond PLTE and missing PLTE both raise, not garbage
+        bad_idx = np.full((4, 4, 1), 200, dtype=np.uint8)
+        with pytest.raises(ValueError, match="palette index"):
+            _parse_png(self._png(bad_idx, filters=[0], palette=pal))
+        no_plte = self._png(idx, filters=[0], palette=pal).replace(
+            b"PLTE", b"pLTe", 1
+        )
+        with pytest.raises(ValueError, match="PLTE"):
+            _parse_png(no_plte)
 
     def test_real_wav_audio_decode(self, spark):
         """Non-fake audio path on stdlib PCM WAV: duration from the
