@@ -47,6 +47,7 @@ HEADLINE = [
     "bm25_search",
     "corpus_stats",
     "lm_score",
+    "pack_sequences",
     "decontaminate",
     "segment_dedup",
     "mix_sample",

@@ -1844,6 +1844,88 @@ FROM scored GROUP BY doc_id, lang
 """
 
 
+_PACK_L = 1024  # tokens per packed training example
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing — the pre-training data-prep step that turns
+    variable-length tokenized documents into fixed-length training
+    examples by concat-and-chunk (GPT-style packing): documents are
+    concatenated in doc_id order into one virtual token stream and cut
+    every _PACK_L tokens; the output is the packing MANIFEST a training
+    loader consumes — one row per (chunk, document-slice): where in the
+    chunk the slice starts (off_in_chunk), where in the document it
+    starts (doc_off), and how many tokens it contributes (n_from_doc).
+    Documents longer than a chunk span multiple rows; chunk boundaries
+    split documents exactly (no padding, no loss).
+
+    The global placement is an EXCLUSIVE PREFIX SUM of per-doc token
+    counts in doc_id order — the classic distributed-scan problem. A
+    bare ``sum() OVER (ORDER BY doc_id)`` sorts the corpus in ONE task;
+    operators/rank.with_global_prefix_sum instead range-partitions on
+    doc_id, collects only the P per-partition partial sums, and
+    broadcasts their exclusive prefix back (the same two-phase scheme
+    as the arrival-rank operator, values instead of counts — P numbers
+    on the driver, never data). Everything after the offset is a narrow
+    map + a bounded explode (a doc of n tokens emits
+    ceil(n/L)+1 rows at most). Token counts here are whitespace tokens,
+    matching the synthetic token arrays of q_token_prefix_trie (one
+    token per word)."""
+    from bucketizers_spark.operators.rank import with_global_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    o = with_global_prefix_sum(d, "doc_id", "n_tok", out_col="off")
+    L = _PACK_L
+    fin = F.col("off") + F.col("n_tok")
+    x = o.select(
+        "doc_id",
+        "off",
+        fin.alias("fin"),
+        F.explode(
+            F.sequence(F.floor(F.col("off") / L), F.floor((fin - 1) / L))
+        ).alias("chunk_id"),
+    )
+    s = F.greatest(F.col("off"), F.col("chunk_id") * L)
+    e = F.least(F.col("fin"), (F.col("chunk_id") + 1) * L)
+    return x.select(
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "doc_id",
+        (s - F.col("chunk_id") * L).cast("long").alias("off_in_chunk"),
+        (s - F.col("off")).cast("long").alias("doc_off"),
+        (e - s).cast("long").alias("n_from_doc"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM d
+),
+x AS (
+  SELECT doc_id, off, off + n_tok AS fin,
+         unnest(range(off // {_PACK_L}, (off + n_tok - 1) // {_PACK_L} + 1))
+           AS chunk_id
+  FROM o
+)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+       CAST(greatest(off, chunk_id * {_PACK_L})
+            - chunk_id * {_PACK_L} AS BIGINT) AS off_in_chunk,
+       CAST(greatest(off, chunk_id * {_PACK_L}) - off AS BIGINT) AS doc_off,
+       CAST(least(fin, (chunk_id + 1) * {_PACK_L})
+            - greatest(off, chunk_id * {_PACK_L}) AS BIGINT) AS n_from_doc
+FROM x
+"""
+
+
 def q_doc_repetition(spark, sf_dir):
     """Intra-document repetition metrics — the training-data quality
     signal that catches boilerplate/looped generations: distinct-word
@@ -3099,6 +3181,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "corpus_stats": q_corpus_stats,
     "lm_score": q_lm_score,
+    "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "segment_dedup": q_segment_dedup,
     "mix_sample": q_mix_sample,
@@ -3153,6 +3236,7 @@ ORACLES = {
     "bm25_search": SQL_BM25_SEARCH,
     "corpus_stats": SQL_CORPUS_STATS,
     "lm_score": SQL_LM_SCORE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "mix_sample": SQL_MIX_SAMPLE,

@@ -87,3 +87,66 @@ def with_global_rank0(
         out_col,
         (off_map[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
     ).drop("_pid")
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    *,
+    out_col: str = "offset0",
+    partitions: int | None = None,
+    single_task_threshold: int | None = None,
+) -> DataFrame:
+    """Return ``df`` with the EXCLUSIVE global prefix sum of ``val_col``
+    in ``order_col`` order (row i gets sum of values of all rows before
+    it; the first row gets 0) — the scale-safe form of
+    ``sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    Same hybrid as :func:`with_global_rank0` and the same two-phase
+    scheme at scale, with per-partition row COUNTS replaced by
+    per-partition value SUMS: range-partition on the order column,
+    collect the P partial sums, broadcast their exclusive prefix as a
+    literal map, add the within-partition running sum. Exact for unique
+    order keys. Drives sequence packing (entry_queries.q_pack_sequences),
+    where the value is per-document token counts and the output offset
+    places every document in the concatenated token stream."""
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    if single_task_threshold is None:
+        single_task_threshold = SINGLE_TASK_THRESHOLD
+    mat = df.localCheckpoint()  # same reasoning as with_global_rank0
+    excl = (Window.unboundedPreceding, -1)
+    if single_task_threshold and mat.count() <= single_task_threshold:
+        w = Window.orderBy(order_col).rowsBetween(*excl)
+        return mat.withColumn(
+            out_col,
+            F.coalesce(F.sum(val_col).over(w), F.lit(0)).cast("long"),
+        )
+    parted = (
+        mat.repartitionByRange(p, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in parted.groupBy("_pid")
+        .agg(F.sum(val_col).alias("s"))
+        .collect()
+    }
+    if not sums:
+        return mat.withColumn(out_col, F.lit(0).cast("long"))
+    acc = 0
+    pairs: list = []
+    for pid in sorted(sums):
+        pairs += [pid, acc]
+        acc += sums[pid]
+    off_map = F.create_map(*[F.lit(x) for x in pairs])
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(*excl)
+    return parted.withColumn(
+        out_col,
+        (
+            off_map[F.col("_pid")]
+            + F.coalesce(F.sum(val_col).over(w), F.lit(0))
+        ).cast("long"),
+    ).drop("_pid")

@@ -399,6 +399,45 @@ class TestGlobalRank:
         s = {r["key"]: r["rank0"] for r in small.collect()}
         assert b == s and len(b) == 4000
 
+    def test_two_phase_prefix_sum_matches_window(self, spark):
+        """with_global_prefix_sum: the range-partitioned two-phase form
+        equals the single-task exclusive running sum exactly, never
+        via a SinglePartition sort, and the first row in order gets 0
+        (exclusive semantics). Drives q_pack_sequences' offsets."""
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.operators.rank import with_global_prefix_sum
+
+        df = (
+            spark.range(0, 5000)
+            .withColumn("key", (F.col("id") * 2654435761) % 1000003)
+            .withColumn("v", (F.col("id") % 97) + 1)
+            .repartition(16)
+            .select("key", "v")
+        )
+        big = with_global_prefix_sum(
+            df, "key", "v", single_task_threshold=0, partitions=8
+        )
+        assert (
+            "SinglePartition"
+            not in big._jdf.queryExecution().executedPlan().toString()
+        )
+        two = {r.key: r.offset0 for r in big.collect()}
+        one = {
+            r.key: r.offset0
+            for r in with_global_prefix_sum(df, "key", "v").collect()
+        }
+        assert two == one and len(two) == 5000
+        in_order = sorted(two)
+        assert two[in_order[0]] == 0
+        # spot-check exclusivity: offsets strictly increase by the
+        # previous row's value
+        vals = {r.key: r.v for r in df.collect()}
+        run = 0
+        for k in in_order[:100]:
+            assert two[k] == run
+            run += vals[k]
+
     def test_two_phase_drives_basic_pager(self, spark):
         """basic_pager with the two-phase rank forced (threshold 0 via a
         tiny monkeypatch) matches the dense-seq narrow map."""

@@ -43,6 +43,7 @@ SUBSET = [
     "bm25_search",
     "corpus_stats",
     "lm_score",
+    "pack_sequences",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
