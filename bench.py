@@ -48,6 +48,7 @@ HEADLINE = [
     "corpus_stats",
     "lm_score",
     "pack_sequences",
+    "pack_by_source",
     "decontaminate",
     "segment_dedup",
     "mix_sample",

@@ -1878,9 +1878,17 @@ def q_pack_sequences(spark, sf_dir):
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     )
     o = with_global_prefix_sum(d, "doc_id", "n_tok", out_col="off")
-    L = _PACK_L
+    return _pack_manifest(o, _PACK_L)
+
+
+def _pack_manifest(o, L, lead_cols=()):
+    """Expand an offset frame (doc_id, n_tok, off [, lead_cols]) into
+    the per-(chunk, doc-slice) packing manifest — a narrow map + a
+    bounded explode (ceil(n_tok/L)+1 rows per doc at most)."""
+    lead = list(lead_cols)
     fin = F.col("off") + F.col("n_tok")
     x = o.select(
+        *lead,
         "doc_id",
         "off",
         fin.alias("fin"),
@@ -1891,12 +1899,74 @@ def q_pack_sequences(spark, sf_dir):
     s = F.greatest(F.col("off"), F.col("chunk_id") * L)
     e = F.least(F.col("fin"), (F.col("chunk_id") + 1) * L)
     return x.select(
+        *lead,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         "doc_id",
         (s - F.col("chunk_id") * L).cast("long").alias("off_in_chunk"),
         (s - F.col("off")).cast("long").alias("doc_off"),
         (e - s).cast("long").alias("n_from_doc"),
     )
+
+
+def q_pack_by_source(spark, sf_dir):
+    """Per-source sequence packing — packing SHARDED by the source
+    column, the form production pipelines actually run (training mixes
+    are assembled per source/domain, and per-shard packing is what a
+    streaming ingester can maintain incrementally: see
+    streaming/pack_stream.pack_stream, pinned equal to this batch form
+    in pytest). Chunk ids are LOCAL to a source.
+
+    Scale shape: the offset is a window sum partitioned by source —
+    distributed across the source inventory with no global sort; a
+    single pathologically giant source degenerates to one partition's
+    sort, at which point the global two-phase prefix-sum operator
+    (q_pack_sequences) applied within that source is the escape hatch —
+    the skew/shuffle trade is documented, not hidden. Manifest
+    expansion is shared with q_pack_sequences (_pack_manifest)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = d.withColumn(
+        "off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    )
+    return _pack_manifest(o, _PACK_L, lead_cols=("source",))
+
+
+SQL_PACK_BY_SOURCE = f"""
+WITH d AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT source, doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM d
+),
+x AS (
+  SELECT source, doc_id, off, off + n_tok AS fin,
+         unnest(range(off // {_PACK_L}, (off + n_tok - 1) // {_PACK_L} + 1))
+           AS chunk_id
+  FROM o
+)
+SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+       CAST(greatest(off, chunk_id * {_PACK_L})
+            - chunk_id * {_PACK_L} AS BIGINT) AS off_in_chunk,
+       CAST(greatest(off, chunk_id * {_PACK_L}) - off AS BIGINT) AS doc_off,
+       CAST(least(fin, (chunk_id + 1) * {_PACK_L})
+            - greatest(off, chunk_id * {_PACK_L}) AS BIGINT) AS n_from_doc
+FROM x
+"""
 
 
 SQL_PACK_SEQUENCES = f"""
@@ -3182,6 +3252,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "lm_score": q_lm_score,
     "pack_sequences": q_pack_sequences,
+    "pack_by_source": q_pack_by_source,
     "decontaminate": q_decontaminate,
     "segment_dedup": q_segment_dedup,
     "mix_sample": q_mix_sample,
@@ -3237,6 +3308,7 @@ ORACLES = {
     "corpus_stats": SQL_CORPUS_STATS,
     "lm_score": SQL_LM_SCORE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_by_source": SQL_PACK_BY_SOURCE,
     "decontaminate": SQL_DECONTAMINATE,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "mix_sample": SQL_MIX_SAMPLE,

@@ -44,6 +44,7 @@ SUBSET = [
     "corpus_stats",
     "lm_score",
     "pack_sequences",
+    "pack_by_source",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
