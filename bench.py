@@ -52,6 +52,8 @@ HEADLINE = [
     "decontaminate",
     "segment_dedup",
     "mix_sample",
+    "shuffle_shard",
+    "pmi_bigrams",
 ]
 
 

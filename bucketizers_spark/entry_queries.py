@@ -2302,6 +2302,240 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < th.th
 """
 
 
+_MIX_ALPHA = 0.3  # temperature exponent (mT5-style alpha-sampling)
+_MIX_BUDGET = 200  # expected total docs in the temperature mixture
+
+
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-based mixture sampling — the alpha-weighted variant
+    of q_mix_sample (mT5 / UniMax family: language g gets sampling mass
+    proportional to n_g^alpha, so low-resource languages are boosted
+    relative to proportional sampling without the hard per-language cap
+    of mix_sample). Per-doc keep rate: rate_g = min(1, B * n_g^alpha /
+    (S * n_g)) with S = sum_g n_g^alpha, so expected kept docs sum to
+    ~B while each language's share follows the tempered distribution.
+    Sampling is the same deterministic md5(doc_id) 2-hex-threshold draw
+    as mix_sample — stable under task retries, and the quantized
+    threshold keeps both engines comparing strings.
+
+    Scale shape: identical to mix_sample — the tempered rates derive
+    from the per-language count agg (bounded by the language
+    inventory; the normalizing window-sum runs over THAT tiny frame,
+    never the corpus), broadcast back; the corpus side is a narrow
+    map + filter, zero corpus shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    pw = F.pow(F.col("n").cast("double"), F.lit(_MIX_ALPHA))
+    raw = (
+        F.lit(float(_MIX_BUDGET))
+        * pw
+        / (F.sum(pw).over(Window.partitionBy()) * F.col("n"))
+    )
+    th = cnt.select(
+        "lang",
+        F.when(raw >= 1, F.lit("zz"))
+        .otherwise(
+            F.lower(
+                F.lpad(F.hex(F.floor(raw * 256).cast("int")), 2, "0")
+            )
+        )
+        .alias("th"),
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .select("doc_id", "lang", key.alias("sample_key"))
+        .where(key < F.col("th"))
+    )
+
+
+SQL_MIX_TEMPERATURE = f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+r AS (SELECT lang,
+        {_MIX_BUDGET}.0 * power(n, {_MIX_ALPHA})
+          / (sum(power(n, {_MIX_ALPHA})) OVER () * n) AS raw
+      FROM cnt),
+th AS (SELECT lang,
+        CASE WHEN raw >= 1 THEN 'zz'
+             ELSE lower(lpad(hex(CAST(floor(raw * 256) AS INT)), 2, '0'))
+        END AS th
+       FROM r)
+SELECT d.doc_id, d.lang, substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS sample_key
+FROM documents d JOIN th USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < th.th
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle + shard assignment
+# --------------------------------------------------------------------------
+_SHUF_SHARDS = 8  # training output shards
+
+
+def q_shuffle_shard(spark, sf_dir):
+    """Deterministic global training-order shuffle + shard assignment —
+    the step between packing and writing: every training example needs
+    a pseudo-random but REPRODUCIBLE position in the training order
+    (epoch-stable, resumable mid-epoch, identical under task retries —
+    rand() is none of these), and a shard file to land in. Order key =
+    md5(doc_id); the dense permutation index comes from
+    operators/rank.with_global_rank0 — the two-phase range-partitioned
+    rank, never a single-task global ORDER BY at scale. Shard =
+    order mod S (round-robin keeps shards balanced within one row AND
+    interleaves the shuffled order across shards, so reading shards
+    round-robin replays the global order); pos_in_shard = order div S
+    is the example's offset within its shard file.
+
+    Scale shape: one range shuffle on the md5 key (uniform by
+    construction — md5 is its own anti-skew salt) + P driver-side
+    partial counts; everything else is a narrow map."""
+    from bucketizers_spark.operators.rank import with_global_rank0
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    o = with_global_rank0(keyed, "shuffle_key", out_col="order_idx")
+    return o.select(
+        "doc_id",
+        "shuffle_key",
+        "order_idx",
+        (F.col("order_idx") % _SHUF_SHARDS).cast("long").alias("shard_id"),
+        F.floor(F.col("order_idx") / _SHUF_SHARDS)
+        .cast("long")
+        .alias("pos_in_shard"),
+    )
+
+
+SQL_SHUFFLE_SHARD = f"""
+WITH o AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+              AS BIGINT) AS order_idx
+  FROM documents
+)
+SELECT doc_id, shuffle_key, order_idx,
+       CAST(order_idx % {_SHUF_SHARDS} AS BIGINT) AS shard_id,
+       CAST(order_idx // {_SHUF_SHARDS} AS BIGINT) AS pos_in_shard
+FROM o
+"""
+
+
+# --------------------------------------------------------------------------
+# PMI bigram collocations
+# --------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5  # bigram support floor
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """PMI-scored bigram collocations over the corpus — the classic
+    corpus-linguistics statistic (Church & Hanks 1990) a data pipeline
+    uses to mine multi-word expressions and to spot boilerplate n-grams
+    whose attachment is far above chance:
+    pmi = ln(c12) + 2*ln(U) - ln(B) - ln(c1) - ln(c2)
+    with c12 the bigram count, c1/c2 the member unigram counts, U/B the
+    corpus unigram/bigram totals. Output is SET-valued (every bigram
+    with c12 >= _PMI_MIN_COUNT, pmi rounded to 4 places) — an integer
+    support threshold, deliberately NOT a float-ranked top-k, so the
+    result set is deterministic across engines (a float rank boundary
+    is where cross-engine ulp noise would bite; rank downstream).
+
+    Scale shape: ONE text scan feeding both gram frames (explode
+    collapses immediately to counts). The unigram frame is
+    vocabulary-sized, so the two scoring joins (on w1, on w2) are
+    shuffle equijoins, NOT broadcast — lm_score's reasoning; the U/B
+    totals ARE broadcast (one row each, via cross join). Gram TEXT
+    (not hashes) flows through the bigram shuffle because the operator
+    must split the gram back into member words — bounded at 2 words
+    per row."""
+    from bucketizers_spark.functions.ngrams import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("text").localCheckpoint()  # one corpus scan
+    # feeds the unigram AND bigram counts; same fix as lm_score/tfidf
+    uni = (
+        toks.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # vocab frame feeds both joins + the total
+    )
+    bi = (
+        toks.select(F.explode(word_ngrams(F.col("text"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    utot = uni.agg(F.sum("c").alias("u_tot"))
+    btot = (
+        toks.select(
+            F.greatest(
+                F.size(F.split(F.col("text"), " ")) - 1, F.lit(0)
+            ).alias("nb")
+        )
+        .agg(F.sum("nb").alias("b_tot"))
+    )
+    parts = F.split(F.col("g"), " ")
+    scored = (
+        bi.select(
+            parts.getItem(0).alias("w1"),
+            parts.getItem(1).alias("w2"),
+            "c12",
+        )
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = (
+        F.log(F.col("c12").cast("double"))
+        + 2 * F.log(F.col("u_tot").cast("double"))
+        - F.log(F.col("b_tot").cast("double"))
+        - F.log(F.col("c1").cast("double"))
+        - F.log(F.col("c2").cast("double"))
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "c2",
+        # + 0.0 canonicalizes IEEE signed zero: a tiny negative pmi
+        # rounds to -0.0 in DuckDB but +0.0 here, which are == but
+        # hash/print differently (-0.0 + 0.0 = +0.0 in both engines)
+        (F.round(pmi, 4) + F.lit(0.0)).alias("pmi_r4"),
+    )
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+uc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w
+),
+bc AS (
+  SELECT g, count(*) AS c12
+  FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM t WHERE len(ws) >= 2)
+  GROUP BY g HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM uc) AS u_tot,
+         (SELECT sum(greatest(len(ws) - 1, 0)) FROM t) AS b_tot
+)
+SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+       c12, u1.c AS c1, u2.c AS c2,
+       round(ln(CAST(c12 AS DOUBLE)) + 2 * ln(CAST(u_tot AS DOUBLE))
+             - ln(CAST(b_tot AS DOUBLE)) - ln(CAST(u1.c AS DOUBLE))
+             - ln(CAST(u2.c AS DOUBLE)), 4) + 0.0 AS pmi_r4
+FROM bc
+JOIN uc u1 ON split_part(g, ' ', 1) = u1.w
+JOIN uc u2 ON split_part(g, ' ', 2) = u2.w
+CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # Test-set decontamination: word-n-gram overlap vs a held-out slice
 # --------------------------------------------------------------------------
@@ -3256,6 +3490,9 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "segment_dedup": q_segment_dedup,
     "mix_sample": q_mix_sample,
+    "mix_temperature": q_mix_temperature,
+    "shuffle_shard": q_shuffle_shard,
+    "pmi_bigrams": q_pmi_bigrams,
     "substring_trie": q_substring_trie,
     "substring_trie_relations": q_substring_trie_relations,
     "token_prefix_trie": q_token_prefix_trie,
@@ -3312,6 +3549,9 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "mix_sample": SQL_MIX_SAMPLE,
+    "mix_temperature": SQL_MIX_TEMPERATURE,
+    "shuffle_shard": SQL_SHUFFLE_SHARD,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
     "substring_trie": SQL_SUBSTRING_TRIE,
     "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,

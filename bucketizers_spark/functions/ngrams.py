@@ -15,19 +15,29 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def word_ngram_hashes(text_col: Column, n: int) -> Column:
-    """Array of md5 hashes of the space-joined word n-grams of
-    ``text_col``. Rows with fewer than ``n`` words yield an EMPTY array
-    (explode drops them), guarding Spark's descending-sequence surprise
-    when size - (n-1) < 1."""
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Array of the space-joined word n-grams of ``text_col`` as TEXT.
+    Rows with fewer than ``n`` words yield an EMPTY array (explode
+    drops them), guarding Spark's descending-sequence surprise when
+    size - (n-1) < 1. Prefer :func:`word_ngram_hashes` before any wide
+    op — gram text belongs in shuffles only when the downstream op
+    needs the words themselves (e.g. PMI collocations split the gram
+    back into its member words)."""
     words = F.split(text_col, " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, n))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
     return F.when(F.size(words) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngram_hashes(text_col: Column, n: int) -> Column:
+    """Array of md5 hashes of the space-joined word n-grams of
+    ``text_col`` (md5 applied gram-wise over :func:`word_ngrams`, so
+    wide ops downstream move 32-char hashes, never gram text)."""
+    return F.transform(word_ngrams(text_col, n), F.md5)
 
 
 def segment_hashes(text_col: Column, seg_len: int) -> Column:

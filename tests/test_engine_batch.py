@@ -568,3 +568,171 @@ class TestNewQueryPlanShapes:
         from bucketizers_spark.entry_queries import q_ann_ivfpq
 
         assert "BroadcastHashJoin" in self._plan(q_ann_ivfpq(spark, self.SF))
+
+
+class TestShuffleShard:
+    """q_shuffle_shard vs an independent Python replay (hashlib md5 —
+    not Spark's md5, not the DuckDB oracle) plus the permutation
+    invariants a training loader relies on."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _rows(self, spark, monkeypatch=None):
+        from bucketizers_spark.entry_queries import q_shuffle_shard
+
+        return q_shuffle_shard(spark, self.SF).collect()
+
+    def test_matches_python_replay_and_invariants(self, spark):
+        import hashlib
+
+        from bucketizers_spark.entry_queries import _SHUF_SHARDS
+
+        rows = self._rows(spark)
+        n = len(rows)
+        # independent replay: order by hashlib md5 of the stringified id
+        ids = [r.doc_id for r in rows]
+        want_order = {
+            d: i
+            for i, d in enumerate(
+                sorted(ids, key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
+            )
+        }
+        assert {r.doc_id: r.order_idx for r in rows} == want_order
+        # bijection onto 0..n-1
+        assert sorted(r.order_idx for r in rows) == list(range(n))
+        # round-robin sharding: balanced within one row, dense positions
+        per_shard = {}
+        for r in rows:
+            assert r.shard_id == r.order_idx % _SHUF_SHARDS
+            per_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+        sizes = {len(v) for v in per_shard.values()}
+        assert max(sizes) - min(sizes) <= 1
+        for v in per_shard.values():
+            assert sorted(v) == list(range(len(v)))
+
+    def test_distributed_path_identical(self, spark, monkeypatch):
+        """Force the two-phase range-partitioned rank (the 100 TB path)
+        and pin its output equal to the single-task window form."""
+        from bucketizers_spark.operators import rank
+
+        base = {(r.doc_id, r.order_idx, r.shard_id) for r in self._rows(spark)}
+        monkeypatch.setattr(rank, "SINGLE_TASK_THRESHOLD", 0)
+        dist = {(r.doc_id, r.order_idx, r.shard_id) for r in self._rows(spark)}
+        assert dist == base
+
+
+class TestMixTemperature:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_python_replay(self, spark):
+        """Independent hashlib/math replay of the tempered-threshold
+        draw — same corpus, no Spark/DuckDB expressions involved."""
+        import hashlib
+        import math
+
+        from bucketizers_spark.entry_queries import (
+            _MIX_ALPHA,
+            _MIX_BUDGET,
+            q_mix_temperature,
+        )
+
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        corpus = [(r.doc_id, r.lang) for r in docs.select("doc_id", "lang").collect()]
+        n_g = {}
+        for _, lang in corpus:
+            n_g[lang] = n_g.get(lang, 0) + 1
+        s = sum(n ** _MIX_ALPHA for n in n_g.values())
+        th = {}
+        for lang, n in n_g.items():
+            raw = _MIX_BUDGET * (n ** _MIX_ALPHA) / (s * n)
+            th[lang] = "zz" if raw >= 1 else format(math.floor(raw * 256), "02x")
+        want = {
+            (d, lang)
+            for d, lang in corpus
+            if hashlib.md5(str(d).encode()).hexdigest()[:2] < th[lang]
+        }
+        got = {
+            (r.doc_id, r.lang)
+            for r in q_mix_temperature(spark, self.SF).collect()
+        }
+        assert got == want
+
+    def test_low_resource_boost(self, spark):
+        """The tempered per-language keep-rate must be monotone
+        NON-INCREASING in language size — the whole point of alpha < 1."""
+        from bucketizers_spark.entry_queries import q_mix_temperature
+
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        tot = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+        kept = {
+            r.lang: r.n
+            for r in q_mix_temperature(spark, self.SF)
+            .groupBy("lang")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        rates = sorted(
+            ((tot[lang], kept.get(lang, 0) / tot[lang]) for lang in tot),
+        )
+        # thresholds (rate ceilings) are non-increasing in n; realized
+        # rates fluctuate by the md5 draw, so compare with slack one
+        # quantization step (1/256) plus sampling noise bound 0.15
+        for (n1, r1), (n2, r2) in zip(rates, rates[1:]):
+            if n1 < n2:
+                assert r2 <= r1 + 0.15
+
+    def test_rate_join_is_broadcast(self, spark):
+        from bucketizers_spark.entry_queries import q_mix_temperature
+
+        plan = (
+            q_mix_temperature(spark, self.SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestPmiBigrams:
+    def test_known_collocation_tops(self, spark, tmp_path_factory):
+        """A planted always-adjacent pair must out-PMI every
+        independent-word bigram, with exact counts; pmi_r4 must equal
+        the closed-form recomputed in pure Python from the corpus."""
+        import math
+        import os
+
+        import pandas as pd
+
+        from bucketizers_spark.entry_queries import q_pmi_bigrams
+
+        d = "/root/repo/.scratch/pmi_micro"
+        os.makedirs(d, exist_ok=True)
+        # 24 docs: "new york" always adjacent; fillers vary per doc
+        rows = []
+        for i in range(24):
+            rows.append((i, f"f{i % 7} new york g{i % 5} h{i % 3}"))
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{d}/documents.parquet"
+        )
+        out = {
+            (r.w1, r.w2): (r.c12, r.c1, r.c2, r.pmi_r4)
+            for r in q_pmi_bigrams(spark, d).collect()
+        }
+        assert ("new", "york") in out
+        c12, c1, c2, pmi = out[("new", "york")]
+        assert (c12, c1, c2) == (24, 24, 24)
+        # closed-form replay
+        texts = [t for _, t in rows]
+        toks = [w for t in texts for w in t.split(" ")]
+        u_tot = len(toks)
+        b_tot = sum(len(t.split(" ")) - 1 for t in texts)
+        want = (
+            math.log(24) + 2 * math.log(u_tot) - math.log(b_tot)
+            - math.log(24) - math.log(24)
+        )
+        assert abs(pmi - round(want, 4)) < 1e-9
+        assert pmi == max(v[3] for v in out.values())
+        # support floor respected
+        assert all(v[0] >= 5 for v in out.values())

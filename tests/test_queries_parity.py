@@ -45,6 +45,9 @@ SUBSET = [
     "lm_score",
     "pack_sequences",
     "pack_by_source",
+    "mix_temperature",
+    "shuffle_shard",
+    "pmi_bigrams",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
