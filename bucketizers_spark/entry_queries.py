@@ -925,6 +925,100 @@ SELECT query_id, vec_id, sim_r4, rk FROM (
 """
 
 
+def q_knn_classify(spark, sf_dir):
+    """k-NN classification — the downstream consumer that makes
+    similarity search useful: predict each query vector's label by
+    majority vote among its 10 exact-cosine nearest neighbours
+    (brute-force baseline; the IVF/PQ serving paths feed the same vote
+    at scale). Vote tie-break: higher count, then smaller label — fully
+    deterministic. Output carries the query's own label so accuracy is
+    a trivial downstream agg.
+
+    Scale shape: ann_topk's broadcast-queries crossJoin + per-query
+    top-k window, then the label lookup joins the TINY top-k frame
+    (k·|Q| rows) BROADCAST against the corpus scan — never the corpus
+    against the queries; the vote agg and final argmax window are
+    query-bounded."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = (
+        F.broadcast(q)
+        .crossJoin(emb.select("vec_id", "embedding"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
+    scored = joined.select("query_id", "vec_id", sim.alias("sim_r4"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r4").desc(), F.col("vec_id")
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    labeled = emb.select("vec_id", "label").join(F.broadcast(top), "vec_id")
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    best = (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .where(F.col("_r") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    qlab = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+    )
+    return best.join(F.broadcast(qlab), "query_id").select(
+        "query_id", "query_label", "pred_label", "n_votes"
+    )
+
+
+SQL_KNN_CLASSIFY = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS sim_r4
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_r4 DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+),
+votes AS (
+  SELECT t.query_id, e.label, count(*) AS n_votes
+  FROM top t JOIN embeddings e USING (vec_id)
+  GROUP BY t.query_id, e.label
+),
+best AS (
+  SELECT query_id, label AS pred_label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label) AS r
+  FROM votes
+)
+SELECT b.query_id, e.label AS query_label, b.pred_label,
+       CAST(b.n_votes AS BIGINT) AS n_votes
+FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+WHERE b.r = 1
+"""
+
+
 def q_ann_int8(spark, sf_dir):
     """Brute-force cosine top-10 over SCALAR-QUANTIZED (int8) vectors:
     per-vector symmetric quantization q_i = round(x_i / s) with
@@ -3469,6 +3563,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
+    "knn_classify": q_knn_classify,
     "ann_int8": q_ann_int8,
     "ann_pq": q_ann_pq,
     "ann_pq_rescore": q_ann_pq_rescore,
@@ -3528,6 +3623,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_topk": SQL_ANN_TOPK,
+    "knn_classify": SQL_KNN_CLASSIFY,
     "ann_int8": SQL_ANN_INT8,
     "ann_pq": SQL_ANN_PQ,
     "ann_pq_rescore": SQL_ANN_PQ_RESCORE,

@@ -48,6 +48,7 @@ SUBSET = [
     "mix_temperature",
     "shuffle_shard",
     "pmi_bigrams",
+    "knn_classify",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
