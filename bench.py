@@ -54,6 +54,8 @@ HEADLINE = [
     "mix_sample",
     "shuffle_shard",
     "pmi_bigrams",
+    "knn_classify",
+    "ngram_diversity",
 ]
 
 

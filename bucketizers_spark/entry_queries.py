@@ -2631,6 +2631,95 @@ CROSS JOIN tot
 
 
 # --------------------------------------------------------------------------
+# Per-source n-gram diversity (corpus health)
+# --------------------------------------------------------------------------
+def q_ngram_diversity(spark, sf_dir):
+    """Per-source corpus-health diversity metrics: type-token ratio
+    (distinct words / total words) and trigram diversity (distinct
+    word-3-grams / total word-3-grams) — the corpus-level complement of
+    doc_repetition's intra-document metrics; a source whose trigram
+    diversity collapses is template/boilerplate-dominated even when
+    individual documents look fine.
+
+    Scale shape: one exploded scan per gram order, each collapsing
+    immediately into a two-stage distinct count — groupBy (source,
+    gram) then per-source agg — both map-side combinable, never
+    countDistinct over a corpus-wide shuffle of raw text; trigrams are
+    md5'd at the map stage (word_ngram_hashes) so the wide op moves
+    32-char hashes. Sources whose documents are all shorter than 3
+    words drop out (inner join; both engines agree)."""
+    from bucketizers_spark.functions.ngrams import word_ngram_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    ts = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+    gr = docs.select(
+        "source",
+        F.explode(word_ngram_hashes(F.col("text"), 3)).alias("g"),
+    )
+    gs = (
+        gr.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tri"),
+            F.count(F.lit(1)).alias("n_tri_types"),
+        )
+    )
+    return ts.join(gs, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_tri",
+        "n_tri_types",
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens"), 4
+        ).alias("ttr_r4"),
+        F.round(
+            F.col("n_tri_types").cast("double") / F.col("n_tri"), 4
+        ).alias("tri_diversity_r4"),
+    )
+
+
+SQL_NGRAM_DIVERSITY = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+ts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT w) AS BIGINT) AS n_types
+  FROM tok GROUP BY source
+),
+gr AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 3
+),
+gs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tri,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_tri_types
+  FROM gr GROUP BY source
+)
+SELECT ts.source, n_tokens, n_types, n_tri, n_tri_types,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr_r4,
+       round(CAST(n_tri_types AS DOUBLE) / n_tri, 4) AS tri_diversity_r4
+FROM ts JOIN gs USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
 # Test-set decontamination: word-n-gram overlap vs a held-out slice
 # --------------------------------------------------------------------------
 _DECON_N = 4  # n-gram length (words)
@@ -3588,6 +3677,7 @@ QUERIES = {
     "mix_temperature": q_mix_temperature,
     "shuffle_shard": q_shuffle_shard,
     "pmi_bigrams": q_pmi_bigrams,
+    "ngram_diversity": q_ngram_diversity,
     "substring_trie": q_substring_trie,
     "substring_trie_relations": q_substring_trie_relations,
     "token_prefix_trie": q_token_prefix_trie,
@@ -3648,6 +3738,7 @@ ORACLES = {
     "mix_temperature": SQL_MIX_TEMPERATURE,
     "shuffle_shard": SQL_SHUFFLE_SHARD,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "ngram_diversity": SQL_NGRAM_DIVERSITY,
     "substring_trie": SQL_SUBSTRING_TRIE,
     "substring_trie_relations": SQL_SUBSTRING_TRIE_RELATIONS,
     "token_prefix_trie": SQL_TOKEN_PREFIX_TRIE,

@@ -49,6 +49,7 @@ SUBSET = [
     "shuffle_shard",
     "pmi_bigrams",
     "knn_classify",
+    "ngram_diversity",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
