@@ -56,6 +56,7 @@ HEADLINE = [
     "pmi_bigrams",
     "knn_classify",
     "ngram_diversity",
+    "segment_dedup_cdc",
 ]
 
 

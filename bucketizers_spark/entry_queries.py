@@ -2864,6 +2864,92 @@ FROM agg WHERE n_dup_segs > 0 ORDER BY doc_id
 """
 
 
+_CDC_WINDOW = 4  # trailing words fingerprinted for a boundary decision
+
+
+def q_segment_dedup_cdc(spark, sf_dir):
+    """Cross-document segment dedup over CONTENT-DEFINED chunks — the
+    insertion-robust form of q_segment_dedup: boundaries fall where the
+    fingerprint of the trailing _CDC_WINDOW words fires (rate 1/16,
+    ~16-word expected segments; LBFS/rsync lineage), so one inserted or
+    deleted word shifts boundaries only within a window of the edit and
+    shared content RE-ALIGNS — fixed-length chunking loses every
+    segment after the edit point (the re-alignment property is pinned
+    in pytest). Same report as segment_dedup: per affected document,
+    segment counts and duplicated share.
+
+    Scale shape: chunking is a pure JVM HOF narrow map
+    (functions/ngrams.cdc_segment_hashes) emitting md5 hashes at the
+    map stage; downstream is identical to segment_dedup — dup set via
+    countDistinct on seg_h (NOT broadcast; scales with the corpus),
+    membership join reusing the seg_h exchange, one final doc_id
+    groupBy."""
+    from bucketizers_spark.functions.ngrams import cdc_segment_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    seg = docs.select(
+        "doc_id",
+        F.explode(
+            cdc_segment_hashes(F.col("text"), window=_CDC_WINDOW)
+        ).alias("seg_h"),
+    )
+    dup = (
+        seg.groupBy("seg_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _SEG_MIN_DOCS)
+        .select("seg_h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        seg.join(dup, "seg_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count("is_dup").alias("n_dup_segs"),
+        )
+        .where(F.col("n_dup_segs") > 0)
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_dup_segs",
+            F.round(F.col("n_dup_segs") / F.col("n_segs"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SEGMENT_DEDUP_CDC = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id, ws,
+         list_filter(range(1, len(ws) + 1),
+           i -> i = len(ws) OR
+                substr(md5(array_to_string(
+                  ws[greatest(i - {_CDC_WINDOW - 1}, 1):i], ' ')), 1, 1) = '0'
+         ) AS bnd
+  FROM w
+),
+seg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(bnd) + 1),
+           j -> md5(array_to_string(
+                  ws[(CASE WHEN j = 1 THEN 1 ELSE bnd[j - 1] + 1 END):bnd[j]],
+                  ' ')))) AS seg_h
+  FROM b
+),
+dup AS (SELECT seg_h, 1 AS is_dup FROM seg GROUP BY seg_h
+        HAVING COUNT(DISTINCT doc_id) >= {_SEG_MIN_DOCS}),
+agg AS (
+  SELECT s.doc_id, COUNT(*) AS n_segs, COUNT(d.is_dup) AS n_dup_segs
+  FROM seg s LEFT JOIN dup d USING (seg_h) GROUP BY s.doc_id
+)
+SELECT doc_id, n_segs, n_dup_segs,
+       ROUND(CAST(n_dup_segs AS DOUBLE) / n_segs, 4) AS dup_ratio
+FROM agg WHERE n_dup_segs > 0 ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # S2 substring / token tries — with generated DuckDB oracles.
 #
@@ -3673,6 +3759,7 @@ QUERIES = {
     "pack_by_source": q_pack_by_source,
     "decontaminate": q_decontaminate,
     "segment_dedup": q_segment_dedup,
+    "segment_dedup_cdc": q_segment_dedup_cdc,
     "mix_sample": q_mix_sample,
     "mix_temperature": q_mix_temperature,
     "shuffle_shard": q_shuffle_shard,
@@ -3734,6 +3821,7 @@ ORACLES = {
     "pack_by_source": SQL_PACK_BY_SOURCE,
     "decontaminate": SQL_DECONTAMINATE,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "segment_dedup_cdc": SQL_SEGMENT_DEDUP_CDC,
     "mix_sample": SQL_MIX_SAMPLE,
     "mix_temperature": SQL_MIX_TEMPERATURE,
     "shuffle_shard": SQL_SHUFFLE_SHARD,

@@ -52,3 +52,39 @@ def segment_hashes(text_col: Column, seg_len: int) -> Column:
             F.concat_ws(" ", F.slice(words, c * seg_len + 1, seg_len))
         ),
     )
+
+
+def cdc_segment_hashes(text_col: Column, window: int = 4) -> Column:
+    """Array of md5 hashes of CONTENT-DEFINED segments of ``text_col``
+    (Rabin-style chunking at the word level): a segment boundary falls
+    after word i wherever the fingerprint of the trailing ``window``
+    words — here substr(md5(window text), 1, 1) == '0', firing at rate
+    1/16 for ~16-word expected segments — or at end-of-document. Unlike
+    fixed-length segments (:func:`segment_hashes`), a single inserted
+    or deleted word only perturbs the boundaries within one window of
+    the edit, so shared content re-aligns and still deduplicates —
+    the property CDC exists for (LBFS/rsync lineage).
+
+    Pure JVM column expressions (sequence / filter / slice / md5 /
+    transform) — no Python, no shuffle; the downstream dedup moves only
+    32-char hashes. Always at least one segment (end-of-doc boundary)."""
+    words = F.split(text_col, " ")
+    n = F.size(words)
+
+    def _is_boundary(i):
+        start = F.greatest(i - (window - 1), F.lit(1))
+        win = F.slice(words, start, i - start + 1)
+        return (i == n) | (
+            F.substring(F.md5(F.concat_ws(" ", win)), 1, 1) == "0"
+        )
+
+    bnd = F.filter(F.sequence(F.lit(1), n), _is_boundary)
+
+    def _seg(j):
+        prev = F.when(j == 1, F.lit(0)).otherwise(
+            F.element_at(bnd, (j - 1).cast("int"))
+        )
+        b = F.element_at(bnd, j.cast("int"))
+        return F.md5(F.concat_ws(" ", F.slice(words, prev + 1, b - prev)))
+
+    return F.transform(F.sequence(F.lit(1), F.size(bnd)), _seg)

@@ -454,3 +454,75 @@ class TestGeospatialFallbackRouting:
         got = {r.seq: r.bucket_id for r in res.assignments.collect()}
         assert got[0].startswith("4/") and got[2].startswith("4/")
         assert got[1] == "bucketless-0"
+
+
+class TestCdcSegments:
+    """Content-defined chunking must RE-ALIGN after an edit: one word
+    inserted near the front of a document shifts every fixed-length
+    segment, but only boundaries within ~a window of the edit move
+    under CDC — the LBFS/rsync property the operator exists for."""
+
+    def _hashes(self, spark, texts, fn):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        rows = df.select("i", fn(F.col("text")).alias("h")).collect()
+        return {r.i: list(r.h) for r in rows}
+
+    def test_realigns_after_insertion_where_fixed_does_not(self, spark):
+        from bucketizers_spark.functions.ngrams import (
+            cdc_segment_hashes,
+            segment_hashes,
+        )
+
+        base = " ".join(f"w{(i * 37) % 101}x{i % 13}" for i in range(400))
+        words = base.split(" ")
+        edited = " ".join(words[:3] + ["INSERTED"] + words[3:])
+
+        cdc = self._hashes(spark, [base, edited], cdc_segment_hashes)
+        common_cdc = len(set(cdc[0]) & set(cdc[1]))
+        # nearly all segments survive the edit (only the chunk carrying
+        # the insertion, and at most its window-perturbed neighbour, change)
+        assert common_cdc >= len(cdc[0]) - 3 > 0
+
+        fixed = self._hashes(
+            spark, [base, edited], lambda c: segment_hashes(c, 8)
+        )
+        common_fixed = len(set(fixed[0]) & set(fixed[1]))
+        # every fixed segment after the insertion point is shifted
+        assert common_fixed == 0
+
+    def test_segments_lossless_and_deterministic(self, spark):
+        """Boundary decisions must reconstruct the document: segment
+        count equals boundary count, the concatenation property holds
+        via an independent Python replay of the same rule."""
+        import hashlib
+
+        from bucketizers_spark.functions.ngrams import cdc_segment_hashes
+
+        texts = [
+            " ".join(f"t{(i * 7) % 29}" for i in range(n))
+            for n in (1, 3, 17, 100, 257)
+        ]
+        got = self._hashes(spark, texts, cdc_segment_hashes)
+        for i, text in enumerate(texts):
+            ws = text.split(" ")
+            bnd = [
+                k + 1
+                for k in range(len(ws))
+                if k + 1 == len(ws)
+                or hashlib.md5(
+                    " ".join(ws[max(0, k - 3) : k + 1]).encode()
+                ).hexdigest()[0]
+                == "0"
+            ]
+            want = []
+            prev = 0
+            for b in bnd:
+                want.append(
+                    hashlib.md5(" ".join(ws[prev:b]).encode()).hexdigest()
+                )
+                prev = b
+            assert got[i] == want

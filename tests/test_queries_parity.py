@@ -50,6 +50,7 @@ SUBSET = [
     "pmi_bigrams",
     "knn_classify",
     "ngram_diversity",
+    "segment_dedup_cdc",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
