@@ -262,9 +262,14 @@ def segment_count_stream(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    chunker: str = "fixed",
+    cdc_window: int = 4,
 ) -> DataFrame:
     """Streaming cross-batch segment-level dedup — the incremental form
-    of the batch ``segment_dedup`` query: count, per md5'd
+    of the batch ``segment_dedup`` query (``chunker="fixed"``) or of
+    ``segment_dedup_cdc`` (``chunker="cdc"`` — content-defined
+    boundaries, insertion-robust; the keyed-state op is chunking-
+    agnostic since state is per segment HASH): count, per md5'd
     non-overlapping ``seg_len``-word chunk, the documents that have
     carried it across the stream's lifetime, tagging each occurrence
     with the running count and a boilerplate flag once ``min_docs`` is
@@ -279,16 +284,23 @@ def segment_count_stream(
     lists) before the explode; the keyed state op shuffles once per
     micro-batch on seg_h; state = one long per distinct segment hash.
     Gram derivation is shared with batch via functions/ngrams.py."""
-    from bucketizers_spark.functions.ngrams import segment_hashes
+    from bucketizers_spark.functions.ngrams import (
+        cdc_segment_hashes,
+        segment_hashes,
+    )
 
     if "seq" not in stream_df.columns:
         raise ValueError("segment_count_stream needs a seq column")
+    if chunker == "cdc":
+        hashes = cdc_segment_hashes(F.col(text_col), window=cdc_window)
+    elif chunker == "fixed":
+        hashes = segment_hashes(F.col(text_col), seg_len)
+    else:
+        raise ValueError(f"unknown chunker {chunker!r}")
     seg = stream_df.select(
         F.col(id_col).alias("doc_id"),
         "seq",
-        F.explode(
-            F.array_distinct(segment_hashes(F.col(text_col), seg_len))
-        ).alias("seg_h"),
+        F.explode(F.array_distinct(hashes)).alias("seg_h"),
     )
     return seg.groupBy("seg_h").applyInPandasWithState(
         _make_segment_count_fn(min_docs),

@@ -127,3 +127,50 @@ class TestSegmentCountStream:
         }
         assert any(d <= cut for d in flagged_docs)
         assert any(d > cut for d in flagged_docs)
+
+    def test_cdc_chunker_matches_batch_cdc(self, spark, workdir):
+        """chunker="cdc": final counts must equal the batch
+        cdc_segment_hashes computation — the state op is chunking-
+        agnostic, so this pins the CDC expressions are byte-identical
+        between the streaming and batch paths."""
+        from bucketizers_spark.functions.ngrams import cdc_segment_hashes
+        from bucketizers_spark.streaming.dedup_stream import (
+            segment_count_stream,
+        )
+
+        pdf = _corpus_pdf()
+        chunk_dir = os.path.join(workdir, "chunks")
+        out_dir = os.path.join(workdir, "out")
+        ckpt = os.path.join(workdir, "ckpt")
+        stage_chunks(pdf, chunk_dir, n_chunks=3)
+        tagged = segment_count_stream(
+            _read_stream(spark, chunk_dir), chunker="cdc"
+        )
+        q = (
+            tagged.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.read.parquet(out_dir)
+        final = {
+            r.seg_h: r.n_docs
+            for r in got.groupBy("seg_h")
+            .agg(F.max("n_docs").alias("n_docs"))
+            .collect()
+        }
+        df = spark.createDataFrame(pdf, _SCHEMA)
+        seg = df.select(
+            "doc_id",
+            F.explode(cdc_segment_hashes(F.col("text"))).alias("seg_h"),
+        )
+        want = {
+            r.seg_h: r.n_docs
+            for r in seg.groupBy("seg_h")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .collect()
+        }
+        assert final == want and len(final) > 0
