@@ -239,6 +239,7 @@ Reproduce: `python tools/bench_scaling.py {s['n_rows']} {s['trials']}`
     # (bench_streaming.py, bench_scaling_procs.py)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     markers = (
+        "## Token-pipeline scaling",
         "## Streaming end-to-end throughput",
         "## Process-isolated executor scaling",
     )
