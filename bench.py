@@ -49,6 +49,7 @@ HEADLINE = [
     "lm_score",
     "pack_sequences",
     "pack_by_source",
+    "pack_materialize",
     "decontaminate",
     "segment_dedup",
     "mix_sample",

@@ -2063,6 +2063,105 @@ FROM x
 """
 
 
+def q_pack_materialize(spark, sf_dir):
+    """Materialize the packed training examples the manifest describes
+    — the last step of the pack family: join the (chunk, doc-slice)
+    manifest back to the documents, cut each document's token slice,
+    and assemble every chunk's token stream in slice order. Output is
+    one row per chunk with its document count, token count, and the
+    md5 of the assembled text (the content fingerprint a loader can
+    verify shards against; the full text column would be the same rows
+    with text instead of its hash).
+
+    Scale shape: the manifest join is a shuffle equijoin on doc_id
+    (both sides corpus-scaled — deliberately NOT broadcast); slicing
+    is a narrow JVM map (split/slice/concat_ws); assembly is ONE
+    groupBy(chunk_id) whose per-chunk payload is bounded by the chunk
+    length L (collect of ≤L tokens of text per group, order restored
+    by sort_array over (off_in_chunk, seg) structs — deterministic, no
+    collect_list ordering hazard)."""
+    from bucketizers_spark.operators.rank import with_global_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    o = with_global_prefix_sum(d, "doc_id", "n_tok", out_col="off")
+    man = _pack_manifest(o, _PACK_L)
+    j = man.join(docs.select("doc_id", "text"), "doc_id")
+    seg = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(F.col("text"), " "),
+            (F.col("doc_off") + 1).cast("int"),
+            F.col("n_from_doc").cast("int"),
+        ),
+    )
+    pieces = j.select(
+        "chunk_id",
+        "n_from_doc",
+        F.struct(F.col("off_in_chunk").alias("o"), seg.alias("s")).alias(
+            "p"
+        ),
+    )
+    return (
+        pieces.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_from_doc").alias("n_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list("p")), lambda x: x["s"]
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+        .select("chunk_id", "n_docs", "n_tok", "content_md5")
+    )
+
+
+SQL_PACK_MATERIALIZE = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM d
+),
+x AS (
+  SELECT doc_id, off, off + n_tok AS fin,
+         unnest(range(off // {_PACK_L}, (off + n_tok - 1) // {_PACK_L} + 1))
+           AS chunk_id
+  FROM o
+),
+man AS (
+  SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+         CAST(greatest(off, chunk_id * {_PACK_L})
+              - chunk_id * {_PACK_L} AS BIGINT) AS off_in_chunk,
+         CAST(greatest(off, chunk_id * {_PACK_L}) - off AS BIGINT) AS doc_off,
+         CAST(least(fin, (chunk_id + 1) * {_PACK_L})
+              - greatest(off, chunk_id * {_PACK_L}) AS BIGINT) AS n_from_doc
+  FROM x
+),
+seg AS (
+  SELECT m.chunk_id, m.off_in_chunk, m.n_from_doc,
+         array_to_string(
+           string_split(t.text, ' ')[m.doc_off + 1 : m.doc_off + m.n_from_doc],
+           ' ') AS s
+  FROM man m JOIN documents t USING (doc_id)
+)
+SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_from_doc) AS BIGINT) AS n_tok,
+       md5(string_agg(s, ' ' ORDER BY off_in_chunk)) AS content_md5
+FROM seg GROUP BY chunk_id
+"""
+
+
 SQL_PACK_SEQUENCES = f"""
 WITH d AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
@@ -3757,6 +3856,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "pack_sequences": q_pack_sequences,
     "pack_by_source": q_pack_by_source,
+    "pack_materialize": q_pack_materialize,
     "decontaminate": q_decontaminate,
     "segment_dedup": q_segment_dedup,
     "segment_dedup_cdc": q_segment_dedup_cdc,
@@ -3819,6 +3919,7 @@ ORACLES = {
     "lm_score": SQL_LM_SCORE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "pack_by_source": SQL_PACK_BY_SOURCE,
+    "pack_materialize": SQL_PACK_MATERIALIZE,
     "decontaminate": SQL_DECONTAMINATE,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "segment_dedup_cdc": SQL_SEGMENT_DEDUP_CDC,

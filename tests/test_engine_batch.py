@@ -736,3 +736,49 @@ class TestPmiBigrams:
         assert pmi == max(v[3] for v in out.values())
         # support floor respected
         assert all(v[0] >= 5 for v in out.values())
+
+
+class TestPackMaterialize:
+    SF = "/root/testdata/sf0.001"
+
+    def test_chunks_full_and_lossless(self, spark):
+        """Every chunk except the last must hold exactly _PACK_L
+        tokens; token totals must equal the corpus total (packing is
+        lossless); content must match an independent Python replay."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.entry_queries import (
+            _PACK_L,
+            q_pack_materialize,
+        )
+
+        rows = {
+            r.chunk_id: (r.n_docs, r.n_tok, r.content_md5)
+            for r in q_pack_materialize(spark, self.SF).collect()
+        }
+        n = len(rows)
+        assert sorted(rows) == list(range(n))
+        for cid in range(n - 1):
+            assert rows[cid][1] == _PACK_L
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        total = docs.select(
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+        ).collect()[0].t
+        assert sum(v[1] for v in rows.values()) == total
+        # independent replay: concatenate in doc_id order, cut every L
+        texts = [
+            r.text
+            for r in docs.select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        ]
+        stream = " ".join(texts).split(" ")
+        for cid in range(n):
+            want = hashlib.md5(
+                " ".join(
+                    stream[cid * _PACK_L : (cid + 1) * _PACK_L]
+                ).encode()
+            ).hexdigest()
+            assert rows[cid][2] == want

@@ -45,6 +45,7 @@ SUBSET = [
     "lm_score",
     "pack_sequences",
     "pack_by_source",
+    "pack_materialize",
     "mix_temperature",
     "shuffle_shard",
     "pmi_bigrams",
