@@ -2579,6 +2579,15 @@ def q_shuffle_shard(spark, sf_dir):
     round-robin replays the global order); pos_in_shard = order div S
     is the example's offset within its shard file.
 
+    Streaming mirror: deliberately none — a dense global permutation
+    is a corpus-close operation (any later arrival would renumber
+    already-emitted positions). The streaming ingest path is
+    pack_stream (incremental per-source packing) with shard assignment
+    deferred to this batch step at corpus close; per-batch md5
+    BUCKETING (shard = md5 mod S without positions) would stream, but
+    that is a weaker contract than a permutation and is already
+    expressible with one select.
+
     Scale shape: one range shuffle on the md5 key (uniform by
     construction — md5 is its own anti-skew salt) + P driver-side
     partial counts; everything else is a narrow map."""
