@@ -603,3 +603,62 @@ class TestNgramHelpersProperty:
                 md5(" ".join(ws[c * n : (c + 1) * n])) for c in range(nseg)
             ]
             assert got[i] == (grams, segs), (i, ws, n)
+
+
+class TestPackManifestProperty:
+    """Random token-count profiles through the packing manifest
+    (q_pack_sequences' _pack_manifest over with_global_prefix_sum) vs a
+    pure-Python replay, plus the loader-contract invariants: lossless
+    slice sums, exact chunk fullness, contiguous placement."""
+
+    @given(
+        n_toks=st.lists(st.integers(1, 200), min_size=1, max_size=40),
+        L=st.sampled_from([7, 32, 128]),
+    )
+    @_SET
+    def test_manifest_matches_replay(self, spark, n_toks, L):
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.entry_queries import _pack_manifest
+        from bucketizers_spark.operators.rank import (
+            with_global_prefix_sum,
+        )
+
+        df = spark.createDataFrame(
+            [(f"d{i:03d}", n) for i, n in enumerate(n_toks)],
+            "doc_id string, n_tok long",
+        )
+        o = with_global_prefix_sum(df, "doc_id", "n_tok", out_col="off")
+        got = sorted(
+            (r.chunk_id, r.doc_id, r.off_in_chunk, r.doc_off, r.n_from_doc)
+            for r in _pack_manifest(o, L).collect()
+        )
+        # pure-Python replay in doc_id (== insertion) order
+        want = []
+        off = 0
+        for i, n in enumerate(n_toks):
+            d, fin = f"d{i:03d}", off + n
+            for c in range(off // L, (fin - 1) // L + 1):
+                s, e = max(off, c * L), min(fin, (c + 1) * L)
+                want.append((c, d, s - c * L, s - off, e - s))
+            off = fin
+        assert got == sorted(want)
+        # invariants: lossless per-doc token sums; every chunk except
+        # the last exactly L tokens; slices within a chunk contiguous
+        per_doc: dict = {}
+        per_chunk: dict = {}
+        for c, d, oic, doff, nfd in got:
+            per_doc[d] = per_doc.get(d, 0) + nfd
+            per_chunk.setdefault(c, []).append((oic, nfd))
+        assert per_doc == {
+            f"d{i:03d}": n for i, n in enumerate(n_toks)
+        }
+        last = max(per_chunk)
+        for c, slices in per_chunk.items():
+            slices.sort()
+            pos = 0
+            for oic, nfd in slices:
+                assert oic == pos
+                pos += nfd
+            if c != last:
+                assert pos == L
