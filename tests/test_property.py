@@ -662,3 +662,49 @@ class TestPackManifestProperty:
                 pos += nfd
             if c != last:
                 assert pos == L
+
+
+class TestCdcSegmentProperty:
+    """Random word streams (unicode, single chars, repeated words —
+    repeats are the adversarial CDC case since boundary windows
+    collide) through cdc_segment_hashes vs a pure-Python hashlib
+    replay of the boundary rule and segment hashing."""
+
+    @given(
+        words=st.lists(
+            st.text("abñé0", min_size=1, max_size=4),
+            min_size=1,
+            max_size=120,
+        ),
+        window=st.sampled_from([1, 2, 4]),
+    )
+    @_SET
+    def test_matches_hashlib_replay(self, spark, words, window):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.functions.ngrams import cdc_segment_hashes
+
+        text = " ".join(words)
+        df = spark.createDataFrame([(text,)], "text string")
+        got = df.select(
+            cdc_segment_hashes(F.col("text"), window=window).alias("h")
+        ).collect()[0].h
+        n = len(words)
+        bnd = [
+            i + 1
+            for i in range(n)
+            if i + 1 == n
+            or hashlib.md5(
+                " ".join(words[max(0, i - (window - 1)) : i + 1]).encode()
+            ).hexdigest()[0]
+            == "0"
+        ]
+        want, prev = [], 0
+        for b in bnd:
+            want.append(
+                hashlib.md5(" ".join(words[prev:b]).encode()).hexdigest()
+            )
+            prev = b
+        assert list(got) == want
