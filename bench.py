@@ -58,6 +58,7 @@ HEADLINE = [
     "knn_classify",
     "ngram_diversity",
     "segment_dedup_cdc",
+    "sample_fixed",
 ]
 
 

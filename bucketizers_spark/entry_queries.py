@@ -3661,6 +3661,40 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_sql_strata_case()}
 """
 
 
+_SAMPLE_FIXED_N = 100  # exact sample size
+
+
+def q_sample_fixed(spark, sf_dir):
+    """Fixed-SIZE deterministic uniform sample — the eval-subset draw:
+    the N documents with the smallest md5(doc_id). The rate-based
+    draws (sample_stratified, mix_sample, mix_temperature) cannot
+    promise an exact count; ordering by a uniform hash makes "the
+    first N" a uniform N with no RNG state — stable under task
+    retries, and monotone under corpus growth (a doc leaves the sample
+    only when a smaller-keyed doc arrives), the property that keeps
+    eval subsets comparable across corpus snapshots.
+
+    Scale shape: top-N by key is TakeOrderedAndProject — per-partition
+    partial top-N then ONE bounded merge of P·N rows on the driver
+    side of the exchange; never a global sort (plan-pinned in
+    pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", "lang", key.alias("sample_key"))
+        .orderBy("sample_key")
+        .limit(_SAMPLE_FIXED_N)
+    )
+
+
+SQL_SAMPLE_FIXED = f"""
+SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+FROM documents
+ORDER BY sample_key
+LIMIT {_SAMPLE_FIXED_N}
+"""
+
+
 def q_corpus_filter(spark, sf_dir):
     """End-to-end corpus filter — the composition a pre-training data
     pipeline actually runs: quality gate (length + stopword ratio) ∧
@@ -3883,6 +3917,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "sample_stratified": q_sample_stratified,
+    "sample_fixed": q_sample_fixed,
     "corpus_filter": q_corpus_filter,
     "ngram_topk": q_ngram_topk,
     "property_path": q_property_path,
@@ -3946,6 +3981,7 @@ ORACLES = {
     "ann_ivf": SQL_ANN_IVF,
     "ann_ivf_kmeans": SQL_ANN_IVF_KMEANS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sample_fixed": SQL_SAMPLE_FIXED,
     "corpus_filter": SQL_CORPUS_FILTER,
     "ngram_topk": SQL_NGRAM_TOPK,
     "property_path": SQL_PROPERTY_PATH,

@@ -782,3 +782,22 @@ class TestPackMaterialize:
                 ).encode()
             ).hexdigest()
             assert rows[cid][2] == want
+
+
+class TestSampleFixedPlan:
+    def test_top_n_never_global_sorts(self, spark):
+        from bucketizers_spark.entry_queries import (
+            _SAMPLE_FIXED_N,
+            q_sample_fixed,
+        )
+
+        df = q_sample_fixed(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan  # no global sort node
+        rows = df.collect()
+        assert len(rows) == _SAMPLE_FIXED_N
+        # monotone under growth: the sample is exactly the N smallest
+        # keys, so every member's key < every non-member's key
+        keys = sorted(r.sample_key for r in rows)
+        assert keys == sorted(set(keys))  # unique

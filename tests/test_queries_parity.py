@@ -52,6 +52,7 @@ SUBSET = [
     "knn_classify",
     "ngram_diversity",
     "segment_dedup_cdc",
+    "sample_fixed",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
