@@ -1701,20 +1701,29 @@ SELECT a_id, b_id, cos_r4 FROM p WHERE cos_r4 >= 0.3
 # --------------------------------------------------------------------------
 # text analysis: quality stats, language guess, token counts, fingerprint
 # --------------------------------------------------------------------------
-_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+# Gate expressions + constants shared with llm_pipeline / llm_ingest
+# live in functions/quality.py (one definition, batch AND streaming);
+# the module-level aliases keep the oracle f-strings below working.
+from bucketizers_spark.functions.quality import (  # noqa: E402
+    LANG_MARKERS as _LANG_MARKERS,
+    STOPWORDS as _STOPWORDS,
+    gate_predicate,
+    lang_guess_col,
+    n_words_col,
+    stop_ratio_col,
+)
+
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
     return docs.select(
         "doc_id",
-        F.size(words).alias("n_words"),
+        n_words_col(F.col("text")).alias("n_words"),
         F.length("text").alias("n_chars_actual"),
         F.regexp_count("text", F.lit("[.,;:!?]")).alias("punct_count"),
-        F.round(stops.cast("double") / F.size(words), 4).alias("stop_ratio"),
+        stop_ratio_col(F.col("text")).alias("stop_ratio"),
     )
 
 
@@ -1728,28 +1737,11 @@ SELECT doc_id,
 FROM w
 """
 
-_LANG_MARKERS = {
-    "en": ["the", "and", "of"],
-    "es": ["el", "la", "de"],
-    "de": ["der", "die", "und"],
-    "fr": ["le", "la", "et"],
-}
-
-
 def q_lang_guess(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    def marker_count(m: list[str]):
-        return F.size(F.filter(words, lambda w: w.isin(*m)))
-
-    scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
-    best = F.lit("en")
-    best_score = scores["en"]
-    for lang in ["es", "de", "fr"]:
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return docs.select("doc_id", "lang", best.alias("pred_lang"))
+    return docs.select(
+        "doc_id", "lang", lang_guess_col(F.col("text")).alias("pred_lang")
+    )
 
 
 def _sql_lang_pred_expr() -> str:
@@ -2515,26 +2507,18 @@ def q_mix_temperature(spark, sf_dir):
     from the per-language count agg (bounded by the language
     inventory; the normalizing window-sum runs over THAT tiny frame,
     never the corpus), broadcast back; the corpus side is a narrow
-    map + filter, zero corpus shuffles."""
+    map + filter, zero corpus shuffles. Threshold + key expressions
+    shared with llm_pipeline.mix_corpus via functions/quality.py."""
+    from bucketizers_spark.functions.quality import (
+        md5_prefix_key,
+        temperature_thresholds,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    pw = F.pow(F.col("n").cast("double"), F.lit(_MIX_ALPHA))
-    raw = (
-        F.lit(float(_MIX_BUDGET))
-        * pw
-        / (F.sum(pw).over(Window.partitionBy()) * F.col("n"))
+    th = temperature_thresholds(
+        docs, alpha=_MIX_ALPHA, budget=_MIX_BUDGET
     )
-    th = cnt.select(
-        "lang",
-        F.when(raw >= 1, F.lit("zz"))
-        .otherwise(
-            F.lower(
-                F.lpad(F.hex(F.floor(raw * 256).cast("int")), 2, "0")
-            )
-        )
-        .alias("th"),
-    )
-    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    key = md5_prefix_key(F.col("doc_id"))
     return (
         docs.join(F.broadcast(th), "lang")
         .select("doc_id", "lang", key.alias("sample_key"))
@@ -3704,34 +3688,22 @@ def q_corpus_filter(spark, sf_dir):
     column logic over three narrow maps + one md5 window — a single
     shuffle end to end."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
-    stop_ratio = F.round(stops.cast("double") / F.size(words), 4)
     canon = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    scores = {
-        lang: F.size(F.filter(words, lambda w: w.isin(*m)))
-        for lang, m in _LANG_MARKERS.items()
-    }
-    best = F.lit("en")
-    best_score = scores["en"]
-    for lang in ["es", "de", "fr"]:
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    out = docs.select(
-        "doc_id",
-        "lang",
-        F.size(words).alias("n_words"),
-        stop_ratio.alias("stop_ratio"),
-        best.alias("_pred"),
-        canon.alias("_canon"),
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            n_words_col(F.col("text")).alias("n_words"),
+            stop_ratio_col(F.col("text")).alias("stop_ratio"),
+            canon.alias("_canon"),
+        )
+        .where(
+            gate_predicate(F.col("text"), F.col("lang"))
+            & (F.col("_canon") == F.col("doc_id"))
+        )
+        .select("doc_id", "lang", "n_words", "stop_ratio")
     )
-    return out.where(
-        (F.col("n_words") >= 5)
-        & (F.col("stop_ratio") <= 0.5)
-        & (F.col("_pred") == F.col("lang"))
-        & (F.col("_canon") == F.col("doc_id"))
-    ).select("doc_id", "lang", "n_words", "stop_ratio")
 
 
 SQL_CORPUS_FILTER = f"""

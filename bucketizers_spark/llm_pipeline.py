@@ -45,30 +45,12 @@ def filter_corpus(docs: DataFrame, *, min_words: int = 5) -> DataFrame:
     keep docs passing the quality gate, language agreement, and exact
     dedup (doc is its own md5-canon). Returns the surviving rows of
     ``docs`` unchanged (all columns)."""
-    from bucketizers_spark.entry_queries import _LANG_MARKERS, _STOPWORDS
+    from bucketizers_spark.functions.quality import gate_predicate
 
-    words = F.split(F.col("text"), " ")
-    stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
-    # rounded exactly as q_corpus_filter rounds, so the kept-id set is
-    # IDENTICAL to the green query (boundary docs included)
-    stop_ratio = F.round(stops.cast("double") / F.size(words), 4)
     canon = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    scores = {
-        lang: F.size(F.filter(words, lambda w: w.isin(*m)))
-        for lang, m in _LANG_MARKERS.items()
-    }
-    best = F.lit("en")
-    best_score = scores["en"]
-    for lang in ["es", "de", "fr"]:
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    keep = (
-        (F.size(words) >= min_words)
-        & (stop_ratio <= 0.5)
-        & (best == F.col("lang"))
-        & (canon == F.col("doc_id"))
-    )
+    keep = gate_predicate(
+        F.col("text"), F.col("lang"), min_words=min_words
+    ) & (canon == F.col("doc_id"))
     return docs.withColumn("_keep", keep).where("_keep").drop("_keep")
 
 
@@ -80,22 +62,15 @@ def mix_corpus(
     mixture step is not wanted). Returns surviving rows unchanged."""
     if budget is None:
         return docs
-    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    pw = F.pow(F.col("n").cast("double"), F.lit(alpha))
-    raw = (
-        F.lit(float(budget))
-        * pw
-        / (F.sum(pw).over(Window.partitionBy()) * F.col("n"))
+    from bucketizers_spark.functions.quality import (
+        md5_prefix_key,
+        temperature_thresholds,
     )
-    th = cnt.select(
-        "lang",
-        F.when(raw >= 1, F.lit("zz"))
-        .otherwise(
-            F.lower(F.lpad(F.hex(F.floor(raw * 256).cast("int")), 2, "0"))
-        )
-        .alias("_th"),
+
+    th = temperature_thresholds(
+        docs, alpha=alpha, budget=budget, th_col="_th"
     )
-    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    key = md5_prefix_key(F.col("doc_id"))
     return (
         docs.join(F.broadcast(th), "lang")
         .where(key < F.col("_th"))

@@ -46,27 +46,11 @@ from pyspark.sql import functions as F
 def ingest_gate(stream_df: DataFrame, *, min_words: int = 5) -> DataFrame:
     """The stateless per-document quality gate (q_corpus_filter minus
     its corpus-global dedup term, which the keyed dedup stage owns)."""
-    from bucketizers_spark.entry_queries import _LANG_MARKERS, _STOPWORDS
+    from bucketizers_spark.functions.quality import gate_predicate
 
-    words = F.split(F.col("text"), " ")
-    stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
-    stop_ratio = F.round(stops.cast("double") / F.size(words), 4)
-    scores = {
-        lang: F.size(F.filter(words, lambda w: w.isin(*m)))
-        for lang, m in _LANG_MARKERS.items()
-    }
-    best = F.lit("en")
-    best_score = scores["en"]
-    for lang in ["es", "de", "fr"]:
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    keep = (
-        (F.size(words) >= min_words)
-        & (stop_ratio <= 0.5)
-        & (best == F.col("lang"))
+    return stream_df.where(
+        gate_predicate(F.col("text"), F.col("lang"), min_words=min_words)
     )
-    return stream_df.where(keep)
 
 
 _STAGED_SCHEMA = "seq long, doc_id string, text string, source string"
