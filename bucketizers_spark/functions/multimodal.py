@@ -51,6 +51,10 @@ AUDIO_FEATURES_SCHEMA = (
 
 FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame_phash string"
 
+RESIZED_IMAGE_SCHEMA = (
+    "media_id string, width int, height int, mime string, payload binary"
+)
+
 
 def _fake_rng(payload: bytes) -> np.random.Generator:
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
@@ -241,6 +245,102 @@ def _decode_image(payload: bytes, fake: bool):
         "only PPM (P6/P3) and 8-bit non-interlaced PNG decode natively in "
         "this environment; run with fake=True or install PIL on the "
         "cluster for other formats"
+    )
+
+
+def _decode_pixels(payload: bytes) -> np.ndarray:
+    """Decode any natively-supported image payload to an (h, w, c) float64
+    array in [0, 1] (the seam `resize_image` shares with the feature
+    extractors)."""
+    if payload[:2] in (b"P6", b"P3"):
+        return _parse_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _parse_png(payload)
+    raise NotImplementedError(
+        "only PPM (P6/P3) and 8-bit non-interlaced PNG decode natively in "
+        "this environment; run with fake=True or install PIL on the "
+        "cluster for other formats"
+    )
+
+
+def _box_weights(n_in: int, n_out: int) -> np.ndarray:
+    """Exact box-filter resampling weights: W[o, i] is the fraction of
+    output cell o covered by input cell i when both axes are divided into
+    equal cells over the same unit interval. Rows sum to 1; works for
+    down- AND up-scaling (an upscale cell overlaps at most two inputs).
+    Deterministic closed-form geometry — no interpolation-library
+    dependence, so the DuckDB-less pytest replay can pin it bit-for-bit."""
+    scale = n_in / n_out
+    w = np.zeros((n_out, n_in))
+    for o in range(n_out):
+        lo, hi = o * scale, (o + 1) * scale
+        for i in range(int(np.floor(lo)), min(int(np.ceil(hi)), n_in)):
+            w[o, i] = min(hi, i + 1.0) - max(lo, float(i))
+        w[o] /= w[o].sum()
+    return w
+
+
+def _resize_pixels(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-average (box) resample of an (h, w, c) array to (out_h, out_w,
+    c): the antialiasing-correct choice for downscaling training images,
+    and exact block-mean when the factor is integral."""
+    wr = _box_weights(px.shape[0], out_h)
+    wc = _box_weights(px.shape[1], out_w)
+    # (out_h, h) @ (h, w, c) along axis 0, then (out_w, w) along axis 1
+    return np.einsum("oh,hwc,pw->opc", wr, px, wc, optimize=True)
+
+
+def _encode_p6(px: np.ndarray) -> bytes:
+    """Encode an (h, w, c) float array in [0, 1] as binary PPM (P6).
+    Grayscale replicates to RGB; alpha is dropped (P6 is RGB-only).
+    Quantization is floor(x*255 + 0.5) — round-half-up, not numpy's
+    round-half-even — so the byte raster is platform-deterministic."""
+    h, w, c = px.shape
+    if c == 1 or c == 2:  # gray / gray+alpha
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    else:  # RGB / RGBA
+        rgb = px[..., :3]
+    raster = np.floor(np.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+
+
+def resize_image(
+    df: DataFrame, *, out_w: int, out_h: int, fake: bool = False
+) -> DataFrame:
+    """Resize an image binary column to (out_w, out_h) via exact
+    box-average resampling, re-encoded as P6 PPM — image in, image out,
+    so the stage composes with `image_features` downstream (the standard
+    decode → resize → featurize training-data shape). Covers the brief's
+    multimodal resize requirement with a REAL in-container path (PPM/PNG
+    in, PPM out); richer input codecs stay behind the `_decode_pixels`
+    seam. The fake path emits a VALID deterministic P6 payload at the
+    target dims, so fake-mode pipelines still decode downstream.
+
+    100 TB notes: same bounded-Arrow-batch contract as image_features
+    (size maxRecordsPerBatch to the payload scale); output rows carry a
+    payload no larger than ~3·out_w·out_h bytes regardless of input size,
+    so a downscale stage SHRINKS the bytes entering any later shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if fake:
+                    rng = _fake_rng(bytes(payload))
+                    px = rng.random((out_h, out_w, 3))
+                else:
+                    px = _resize_pixels(
+                        _decode_pixels(bytes(payload)), out_w, out_h
+                    )
+                rows.append((mid, out_w, out_h, "image/x-portable-pixmap",
+                             _encode_p6(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mime", "payload"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, RESIZED_IMAGE_SCHEMA
     )
 
 
