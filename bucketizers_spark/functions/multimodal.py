@@ -109,16 +109,18 @@ def _parse_ppm(data: bytes):
 
 
 def _parse_png(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit-depth PNG (grayscale, gray+alpha,
-    RGB, RGBA, and 8-bit palette/indexed via PLTE) into an
+    """Decode a non-interlaced 8- or 16-bit-depth PNG (grayscale,
+    gray+alpha, RGB, RGBA, and 8-bit palette/indexed via PLTE) into an
     (h, w, channels) float64 array in [0, 1] with stdlib zlib only — no
     PIL. Critical-chunk parse (IHDR/PLTE/IDAT/IEND; ancillary chunks
     skipped), zlib inflate, per-scanline unfilter of the five standard
-    filter types (None/Sub/Up/Average/Paeth), then palette images map
-    their index plane through PLTE to RGB. 16-bit depth, sub-byte
-    palette depths, and Adam7 interlace raise NotImplementedError —
-    they fall to the honest codec seam like any other unavailable
-    format. The Sub/Average/Paeth inner loops are per-byte Python:
+    filter types (None/Sub/Up/Average/Paeth) — filters are defined over
+    raster BYTES with the pixel distance in bytes, so 16-bit rows use
+    the same kernels with a doubled bpp — then palette images map their
+    index plane through PLTE to RGB and 16-bit samples are read
+    big-endian over 65535. Sub-byte palette depths and Adam7 interlace
+    raise NotImplementedError — they fall to the honest codec seam like
+    any other unavailable format. The Sub/Average/Paeth inner loops are per-byte Python:
     exact, and acceptable for the feature-extraction batch sizes this
     seam handles in-container (a production cluster swaps in PIL behind
     the same seam)."""
@@ -149,10 +151,11 @@ def _parse_png(data: bytes) -> np.ndarray:
     w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or interlace != 0 or (depth, ctype) == (16, 3):
         raise NotImplementedError(
-            f"PNG depth={depth} interlace={interlace} not supported "
-            "natively; run with fake=True or install PIL on the cluster"
+            f"PNG depth={depth} ctype={ctype} interlace={interlace} not "
+            "supported natively; run with fake=True or install PIL on "
+            "the cluster"
         )
     # scanline channels; palette rasters carry ONE index byte per pixel
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
@@ -164,10 +167,10 @@ def _parse_png(data: bytes) -> np.ndarray:
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG missing/malformed PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
+    stride = w * channels * (depth // 8)
     if len(raw) < (stride + 1) * h:
         raise ValueError("truncated PNG raster")
-    bpp = channels
+    bpp = channels * (depth // 8)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     p = 0
@@ -206,6 +209,9 @@ def _parse_png(data: bytes) -> np.ndarray:
         if int(idx.max()) >= len(pal):
             raise ValueError("PNG palette index out of range")
         return pal[idx].astype(np.float64) / 255.0
+    if depth == 16:
+        samples = np.frombuffer(out.tobytes(), dtype=">u2")
+        return samples.reshape(h, w, channels).astype(np.float64) / 65535.0
     return out.reshape(h, w, channels).astype(np.float64) / 255.0
 
 

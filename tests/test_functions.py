@@ -455,6 +455,109 @@ class TestMultimodal:
         assert abs(got["a2"].zero_crossings - 440) <= 2
 
 
+class TestPng16:
+    """16-bit PNG decode: the filter kernels are byte-defined with the
+    pixel distance in bytes (PNG spec §9), so a 16-bit row reuses the
+    8-bit unfilter with bpp doubled; samples then read big-endian over
+    65535. Encoder here is the byte-level inverse."""
+
+    @staticmethod
+    def _png16(arr, filters):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, nch = arr.shape
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+        bpp = nch * 2
+        stride = w * nch * 2
+
+        def chunk(typ, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + typ
+                + payload
+                + struct.pack(">I", zlib.crc32(typ + payload))
+            )
+
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            row = np.frombuffer(
+                arr[y].astype(">u2").tobytes(), np.uint8
+            ).astype(np.int32)
+            ft = filters[y % len(filters)]
+            enc = row.copy()
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    enc[i] = row[i] - a
+                elif ft == 2:
+                    enc[i] = row[i] - b
+                elif ft == 3:
+                    enc[i] = row[i] - (a + b) // 2
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    enc[i] = row[i] - pred
+            raw.append(ft)
+            raw += bytes((enc % 256).astype(np.uint8))
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_16bit_roundtrip_all_filters(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_png
+
+        rng = np.random.default_rng(11)
+        for nch in (1, 3, 4):
+            arr = rng.integers(0, 65536, size=(7, 5, nch), dtype=np.uint16)
+            png = self._png16(arr, filters=[0, 1, 2, 3, 4, 2, 4])
+            got = _parse_png(png)
+            assert got.shape == (7, 5, nch)
+            np.testing.assert_array_equal(
+                np.round(got * 65535.0).astype(np.uint16), arr
+            )
+
+    def test_16bit_feeds_features_and_resize(self, spark):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            _parse_png,
+            image_features,
+            resize_image,
+        )
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 65536, size=(8, 6, 3), dtype=np.uint16)
+        png = self._png16(arr, filters=[4, 3, 2, 1, 0])
+        df = spark.createDataFrame(
+            [("hdr", "image", png, "image/png", 6, 8, None)], MEDIA_SCHEMA
+        )
+        r = image_features(df, fake=False).collect()[0]
+        px = _parse_png(png)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        assert (r.width, r.height, r.n_channels) == (6, 8, 3)
+        assert abs(r.mean_luma - float(luma.mean())) < 1e-9
+        out = resize_image(df, out_w=3, out_h=4).collect()[0]
+        assert (out.width, out.height) == (3, 4)
+        assert bytes(out.payload)[:2] == b"P6"
+
+
 class TestTimeWindows:
     def test_tumbling_partitions_members_exactly_once(self, spark):
         df = spark.createDataFrame(
