@@ -708,3 +708,60 @@ class TestCdcSegmentProperty:
             )
             prev = b
         assert list(got) == want
+
+
+class TestResizeProperty:
+    """resize kernel vs an independent per-output-pixel overlap replay,
+    across random dims (down, up, and mixed per axis) — pure numpy, so
+    the example budget is generous."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        oh=st.integers(1, 16),
+        ow=st.integers(1, 16),
+        nch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_matches_overlap_replay(self, h, w, oh, ow, nch, seed):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _resize_pixels
+
+        px = np.random.default_rng(seed).random((h, w, nch))
+        got = _resize_pixels(px, ow, oh)
+        assert got.shape == (oh, ow, nch)
+        out = np.zeros((oh, ow, nch))
+        for o in range(oh):
+            for p in range(ow):
+                lo_y, hi_y = o * h / oh, (o + 1) * h / oh
+                lo_x, hi_x = p * w / ow, (p + 1) * w / ow
+                acc, tot = np.zeros(nch), 0.0
+                for i in range(int(np.floor(lo_y)), min(int(np.ceil(hi_y)), h)):
+                    for j in range(
+                        int(np.floor(lo_x)), min(int(np.ceil(hi_x)), w)
+                    ):
+                        wy = min(hi_y, i + 1.0) - max(lo_y, float(i))
+                        wx = min(hi_x, j + 1.0) - max(lo_x, float(j))
+                        acc += px[i, j] * wy * wx
+                        tot += wy * wx
+                out[o, p] = acc / tot
+        np.testing.assert_allclose(got, out, atol=1e-12)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        oh=st.integers(1, 12),
+        ow=st.integers(1, 12),
+        v=st.floats(0.0, 1.0),
+    )
+    def test_constant_image_invariance(self, h, w, oh, ow, v):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _resize_pixels
+
+        px = np.full((h, w, 3), v)
+        got = _resize_pixels(px, ow, oh)
+        np.testing.assert_allclose(got, np.full((oh, ow, 3), v), atol=1e-12)
