@@ -1,7 +1,6 @@
 """Streaming ANN serving — the query side of the ANN family as a
-stream (the last batch operator family without a streaming mirror:
-dedup, decontamination, segment counting, packing, tries, geo and time
-all have one).
+stream (dedup, decontamination, segment counting, packing, tries, geo,
+time, and media all have streaming mirrors too).
 
 Serving is the inverse of ingestion: the CORPUS and its IVF index are
 static (built offline by ``IvfIndex.build``, extended incrementally by
