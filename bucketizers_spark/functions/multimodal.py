@@ -2,17 +2,18 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic fake features) is real and tested. Three REAL codecs run
-natively here — netpbm PPM (P6/P3) and 8-bit non-interlaced PNG images
-(stdlib zlib inflate + scanline unfilter, no PIL) and PCM WAV audio,
-all stdlib+numpy — so the non-fake path executes end-to-end in this
-container; richer formats (JPEG/MP3/MP4 via PIL/ffmpeg/torchaudio) are
-NOT available and stay isolated behind the same ``_decode_*`` seams,
-raising ``NotImplementedError`` unless ``fake=True`` — the deterministic
-fake derives features from the bytes themselves (sha256-seeded), so
-pipelines are end-to-end testable regardless of codec availability.
-Video has no stdlib container format, so frame sampling remains
-fake-only by environment.
+deterministic fake features) is real and tested. Four REAL codecs run
+natively here — netpbm PPM (P6/P3) and 8/16-bit non-interlaced PNG
+images (stdlib zlib inflate + scanline unfilter, no PIL), PCM WAV
+audio, and uncompressed-DIB AVI video (RIFF walk + BI_RGB frame
+decode, the format ffmpeg writes via ``-c:v rawvideo``), all
+stdlib+numpy — so every modality's non-fake path executes end-to-end
+in this container; richer formats (JPEG/MP3/MP4 via PIL/ffmpeg/
+torchaudio) are NOT available and stay isolated behind the same
+``_decode_*``/``_parse_*`` seams, raising ``NotImplementedError``
+unless ``fake=True`` — the deterministic fake derives features from
+the bytes themselves (sha256-seeded), so pipelines are end-to-end
+testable regardless of codec availability.
 
 Design notes for 100 TB:
 - binary payloads stay in the executor JVM until the Arrow transfer of the
@@ -350,6 +351,66 @@ def resize_image(
     )
 
 
+def _parse_avi(data: bytes):
+    """Parse an uncompressed-DIB AVI (RIFF 'AVI ': hdrl avih timing +
+    strl strh/strf format, movi '00db'/'00dc' BI_RGB frames) into
+    (usec_per_frame, [(h, w, 3) float64 RGB in [0, 1], ...]) with
+    stdlib struct only — the real video container this box can execute
+    end-to-end (ffmpeg writes it via ``-c:v rawvideo``). Compressed
+    fourccs fall to the honest codec seam. DIB rows are BGR, padded to
+    4 bytes, bottom-up when biHeight > 0 (top-down when negative)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    usec = None
+    bmp = None  # (w, h, bitcount, compression, topdown)
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes):
+        nonlocal usec, bmp
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+            if fourcc == b"LIST":
+                walk(body[4:])  # skip the list type tag
+            elif fourcc == b"avih" and len(body) >= 4:
+                (usec,) = struct.unpack("<I", body[:4])
+            elif fourcc == b"strf" and len(body) >= 20 and bmp is None:
+                _sz, bw, bh, _pl, bits, comp = struct.unpack(
+                    "<IiiHHI", body[:20]
+                )
+                bmp = (bw, abs(bh), bits, comp, bh < 0)
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append(body)
+
+    walk(data[12:])
+    if usec is None or usec <= 0 or bmp is None:
+        raise ValueError("truncated AVI (missing avih/strf)")
+    w, h, bits, comp, topdown = bmp
+    if comp != 0 or bits != 24:
+        raise NotImplementedError(
+            f"AVI compression={comp} bits={bits} not supported natively; "
+            "only uncompressed 24-bit BI_RGB DIB frames decode in this "
+            "environment (run with fake=True or install ffmpeg/av on the "
+            "cluster)"
+        )
+    stride = (w * 3 + 3) & ~3
+    out = []
+    for raw in frames:
+        if len(raw) < stride * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(raw, np.uint8, stride * h).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        if not topdown:
+            bgr = bgr[::-1]
+        out.append(bgr[..., ::-1].astype(np.float64) / 255.0)  # BGR→RGB
+    return usec, out
+
+
 def _decode_audio(payload: bytes, fake: bool):
     if fake:
         rng = _fake_rng(payload)
@@ -432,17 +493,42 @@ def audio_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
 def sample_frames(
     df: DataFrame, *, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:
-    """Video frame sampling: expands each video row into one row per sampled
-    frame (demonstrates the row-expanding mapInPandas shape)."""
+    """Video frame sampling: expands each video row into one row per
+    sampled frame (one per ``every_ms`` of timeline), with a 64-bit
+    average-hash fingerprint per sampled frame. REAL path: uncompressed
+    24-bit DIB AVI via ``_parse_avi`` (frame timing from avih's
+    microseconds-per-frame); other containers/codecs raise
+    NotImplementedError to the honest seam. ``frame_idx`` is the SOURCE
+    frame index on the real path."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if not fake:
-                    raise NotImplementedError(
-                        "video codec not available; run with fake=True"
-                    )
+                    payload = bytes(payload)
+                    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+                        raise NotImplementedError(
+                            "only uncompressed-DIB AVI decodes natively in "
+                            "this environment; run with fake=True or "
+                            "install ffmpeg/av on the cluster"
+                        )
+                    usec, frames = _parse_avi(payload)
+                    duration_ms = len(frames) * usec / 1000.0
+                    k = 0
+                    while k * every_ms < duration_ms:
+                        idx = int(k * every_ms * 1000 // usec)
+                        if idx >= len(frames):
+                            break
+                        rgb = frames[idx]
+                        luma = (
+                            0.299 * rgb[..., 0]
+                            + 0.587 * rgb[..., 1]
+                            + 0.114 * rgb[..., 2]
+                        )
+                        out.append((mid, idx, _ahash(luma)))
+                        k += 1
+                    continue
                 rng = _fake_rng(payload)
                 duration = int(rng.integers(1000, 20_000))
                 for k in range(duration // every_ms):

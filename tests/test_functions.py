@@ -558,6 +558,115 @@ class TestPng16:
         assert bytes(out.payload)[:2] == b"P6"
 
 
+class TestAviFrames:
+    """Real video frame sampling: uncompressed-DIB AVI parsed with
+    stdlib struct; sampled frame hashes pinned against direct numpy on
+    the source frames, bottom-up AND top-down row orders, compressed
+    fourcc rejected to the honest seam."""
+
+    @staticmethod
+    def _avi(frames_rgb, usec, topdown=False, bits=24, comp=0):
+        import struct
+
+        h, w, _ = frames_rgb[0].shape
+        stride = (w * 3 + 3) & ~3
+
+        def chunk(fourcc, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        def lst(typ, body):
+            return chunk(b"LIST", typ + body)
+
+        avih = struct.pack(
+            "<IIIIIIIIII", usec, 0, 0, 0, len(frames_rgb), 0, 1, 0, w, h
+        ) + b"\x00" * 16
+        strh = b"vids" + b"DIB " + b"\x00" * 48
+        bh = -h if topdown else h
+        strf = struct.pack("<IiiHHI", 40, w, bh, 1, bits, comp) + b"\x00" * 20
+        movi = b""
+        for f in frames_rgb:
+            bgr = f[..., ::-1]
+            rows = bgr if topdown else bgr[::-1]
+            body = b"".join(
+                rows[y].tobytes() + b"\x00" * (stride - w * 3)
+                for y in range(h)
+            )
+            movi += chunk(b"00db", body)
+        payload = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        ) + lst(b"movi", movi)
+        return b"RIFF" + struct.pack("<I", len(payload) + 4) + b"AVI " + payload
+
+    @staticmethod
+    def _frames(n, w=9, h=6):
+        import numpy as np
+
+        rng = np.random.default_rng(19)
+        return [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+
+    def test_parse_avi_roundtrip_both_row_orders(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_avi
+
+        frames = self._frames(3)
+        for topdown in (False, True):
+            usec, got = _parse_avi(self._avi(frames, 40_000, topdown=topdown))
+            assert usec == 40_000 and len(got) == 3
+            for g, f in zip(got, frames):
+                np.testing.assert_array_equal(
+                    np.round(g * 255).astype(np.uint8), f
+                )
+
+    def test_sample_frames_real_pinned(self, spark):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            _ahash,
+            sample_frames,
+        )
+
+        frames = self._frames(5)
+        avi = self._avi(frames, 40_000)  # 25 fps, 200 ms total
+        df = spark.createDataFrame(
+            [("v1", "video", avi, "video/x-msvideo", 9, 6, 200)],
+            MEDIA_SCHEMA,
+        )
+        got = sorted(
+            (r.frame_idx, r.frame_phash)
+            for r in sample_frames(df, every_ms=80, fake=False).collect()
+        )
+        # 80 ms steps over 200 ms at 40 ms/frame → source frames 0, 2, 4
+        want = []
+        for idx in (0, 2, 4):
+            rgb = frames[idx].astype(np.float64) / 255.0
+            luma = (
+                0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+            )
+            want.append((idx, _ahash(luma)))
+        assert got == sorted(want)
+
+    def test_compressed_rejected_to_seam(self, spark):
+        from bucketizers_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            sample_frames,
+        )
+
+        avi = self._avi(self._frames(2), 40_000, comp=0x44495643)  # 'CVID'
+        df = spark.createDataFrame(
+            [("v1", "video", avi, "video/x-msvideo", 9, 6, 80)], MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception, match="NotImplementedError|compression"):
+            sample_frames(df, every_ms=40, fake=False).collect()
+
+
 class TestTimeWindows:
     def test_tumbling_partitions_members_exactly_once(self, spark):
         df = spark.createDataFrame(
