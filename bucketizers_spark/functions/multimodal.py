@@ -110,18 +110,19 @@ def _parse_ppm(data: bytes):
 
 
 def _parse_png(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8- or 16-bit-depth PNG (grayscale,
-    gray+alpha, RGB, RGBA, and 8-bit palette/indexed via PLTE) into an
-    (h, w, channels) float64 array in [0, 1] with stdlib zlib only — no
-    PIL. Critical-chunk parse (IHDR/PLTE/IDAT/IEND; ancillary chunks
-    skipped), zlib inflate, per-scanline unfilter of the five standard
-    filter types (None/Sub/Up/Average/Paeth) — filters are defined over
-    raster BYTES with the pixel distance in bytes, so 16-bit rows use
-    the same kernels with a doubled bpp — then palette images map their
-    index plane through PLTE to RGB and 16-bit samples are read
-    big-endian over 65535. Sub-byte palette depths and Adam7 interlace
-    raise NotImplementedError — they fall to the honest codec seam like
-    any other unavailable format. The Sub/Average/Paeth inner loops are per-byte Python:
+    """Decode a non-interlaced PNG — 8/16-bit grayscale, gray+alpha,
+    RGB, RGBA; 1/2/4/8-bit palette/indexed via PLTE; 1/2/4-bit
+    grayscale — into an (h, w, channels) float64 array in [0, 1] with
+    stdlib zlib only, no PIL. Critical-chunk parse (IHDR/PLTE/IDAT/
+    IEND; ancillary chunks skipped), zlib inflate, per-scanline
+    unfilter of the five standard filter types (None/Sub/Up/Average/
+    Paeth) — filters are defined over packed raster BYTES with the
+    pixel distance in bytes (doubled bpp for 16-bit, floored at one
+    byte for sub-byte depths) — then palette images map their index
+    plane through PLTE to RGB, 16-bit samples read big-endian over
+    65535, and sub-byte samples unpack MSB-first over 2^depth - 1.
+    Adam7 interlace raises NotImplementedError — it falls to the
+    honest codec seam like any other unavailable format. The Sub/Average/Paeth inner loops are per-byte Python:
     exact, and acceptable for the feature-extraction batch sizes this
     seam handles in-container (a production cluster swaps in PIL behind
     the same seam)."""
@@ -152,13 +153,23 @@ def _parse_png(data: bytes) -> np.ndarray:
     w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth not in (8, 16) or interlace != 0 or (depth, ctype) == (16, 3):
+    # legal (depth, ctype) pairs we decode: sub-byte depths exist only
+    # for grayscale and palette (PNG spec §11.2.2); Adam7 stays seamed
+    ok = (
+        interlace == 0
+        and (
+            (depth in (1, 2, 4) and ctype in (0, 3))
+            or depth == 8
+            or (depth == 16 and ctype != 3)
+        )
+    )
+    if not ok:
         raise NotImplementedError(
             f"PNG depth={depth} ctype={ctype} interlace={interlace} not "
             "supported natively; run with fake=True or install PIL on "
             "the cluster"
         )
-    # scanline channels; palette rasters carry ONE index byte per pixel
+    # scanline channels; palette rasters carry ONE index per pixel
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(
@@ -168,10 +179,12 @@ def _parse_png(data: bytes) -> np.ndarray:
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG missing/malformed PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels * (depth // 8)
+    # filters are byte-defined: stride is the packed byte width and the
+    # pixel distance bpp floors at one byte for sub-byte depths
+    stride = (w * channels * depth + 7) // 8
     if len(raw) < (stride + 1) * h:
         raise ValueError("truncated PNG raster")
-    bpp = channels * (depth // 8)
+    bpp = max(1, channels * depth // 8)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     p = 0
@@ -204,6 +217,19 @@ def _parse_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = row
         prev = out[y]
+    if depth < 8:
+        # unpack MSB-first sub-byte samples (single-channel by the gate)
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = bits.reshape(h, w, depth) @ weights
+        if ctype == 3:
+            pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+            if int(vals.max()) >= len(pal):
+                raise ValueError("PNG palette index out of range")
+            return pal[vals].astype(np.float64) / 255.0
+        return (
+            vals.reshape(h, w, 1).astype(np.float64) / float(2**depth - 1)
+        )
     if ctype == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)
@@ -249,7 +275,7 @@ def _decode_image(payload: bytes, fake: bool):
             luma = px[..., 0]
         return w, h, nch, float(luma.mean()), _ahash(luma)
     raise NotImplementedError(
-        "only PPM (P6/P3) and 8-bit non-interlaced PNG decode natively in "
+        "only PPM (P6/P3) and non-interlaced PNG decode natively in "
         "this environment; run with fake=True or install PIL on the "
         "cluster for other formats"
     )
@@ -264,7 +290,7 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _parse_png(payload)
     raise NotImplementedError(
-        "only PPM (P6/P3) and 8-bit non-interlaced PNG decode natively in "
+        "only PPM (P6/P3) and non-interlaced PNG decode natively in "
         "this environment; run with fake=True or install PIL on the "
         "cluster for other formats"
     )

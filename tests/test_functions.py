@@ -558,6 +558,132 @@ class TestPng16:
         assert bytes(out.payload)[:2] == b"P6"
 
 
+class TestPngSubByte:
+    """Sub-byte PNG depths (1/2/4-bit grayscale and palette): filters
+    run over the PACKED bytes with bpp=1, samples unpack MSB-first.
+    Encoder here packs + byte-filters; odd widths exercise row padding."""
+
+    @staticmethod
+    def _png_subbyte(vals, depth, filters, palette=None):
+        """vals: (h, w) int array of samples/indices < 2**depth."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w = vals.shape
+        ctype = 3 if palette is not None else 0
+        stride = (w * depth + 7) // 8
+
+        def chunk(typ, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + typ
+                + payload
+                + struct.pack(">I", zlib.crc32(typ + payload))
+            )
+
+        def pack_row(row):
+            bits = []
+            for v in row:
+                bits.extend(
+                    (int(v) >> k) & 1 for k in range(depth - 1, -1, -1)
+                )
+            bits += [0] * (stride * 8 - len(bits))
+            return np.packbits(np.array(bits, dtype=np.uint8))
+
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            row = pack_row(vals[y]).astype(np.int32)
+            ft = filters[y % len(filters)]
+            enc = row.copy()
+            for i in range(stride):
+                a = int(row[i - 1]) if i >= 1 else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if i >= 1 else 0
+                if ft == 1:
+                    enc[i] = row[i] - a
+                elif ft == 2:
+                    enc[i] = row[i] - b
+                elif ft == 3:
+                    enc[i] = row[i] - (a + b) // 2
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    enc[i] = row[i] - pred
+            raw.append(ft)
+            raw += bytes((enc % 256).astype(np.uint8))
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        plte = (
+            b"" if palette is None else chunk(b"PLTE", bytes(palette.reshape(-1)))
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + plte
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_subbyte_gray_roundtrip(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_png
+
+        rng = np.random.default_rng(23)
+        for depth in (1, 2, 4):
+            vals = rng.integers(0, 2**depth, size=(6, 9))  # odd width
+            png = self._png_subbyte(vals, depth, filters=[0, 1, 2, 3, 4, 2])
+            got = _parse_png(png)
+            assert got.shape == (6, 9, 1)
+            np.testing.assert_allclose(
+                got[..., 0], vals / (2**depth - 1), atol=1e-12
+            )
+
+    def test_subbyte_palette_roundtrip(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_png
+
+        rng = np.random.default_rng(29)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(5, 7))
+        png = self._png_subbyte(idx, 4, filters=[4, 3, 2, 1, 0], palette=pal)
+        got = _parse_png(png)
+        np.testing.assert_array_equal(
+            np.round(got * 255).astype(np.uint8), pal[idx]
+        )
+
+    def test_subbyte_rgb_rejected(self):
+        import struct
+        import zlib
+
+        from bucketizers_spark.functions.multimodal import _parse_png
+
+        # depth 4 + ctype 2 (RGB) is not a legal PNG combination
+        def chunk(typ, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + typ
+                + payload
+                + struct.pack(">I", zlib.crc32(typ + payload))
+            )
+
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 4, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            _parse_png(bad)
+
+
 class TestAviFrames:
     """Real video frame sampling: uncompressed-DIB AVI parsed with
     stdlib struct; sampled frame hashes pinned against direct numpy on
