@@ -121,8 +121,9 @@ def _parse_png(data: bytes) -> np.ndarray:
     byte for sub-byte depths) — then palette images map their index
     plane through PLTE to RGB, 16-bit samples read big-endian over
     65535, and sub-byte samples unpack MSB-first over 2^depth - 1.
-    Adam7 interlace raises NotImplementedError — it falls to the
-    honest codec seam like any other unavailable format. The Sub/Average/Paeth inner loops are per-byte Python:
+    Adam7 interlace is supported: seven independently-filtered
+    sub-images unfiltered with the same kernels and scattered back on
+    their lattices. The Sub/Average/Paeth inner loops are per-byte Python:
     exact, and acceptable for the feature-extraction batch sizes this
     seam handles in-container (a production cluster swaps in PIL behind
     the same seam)."""
@@ -154,14 +155,11 @@ def _parse_png(data: bytes) -> np.ndarray:
         ">IIBBBBB", ihdr
     )
     # legal (depth, ctype) pairs we decode: sub-byte depths exist only
-    # for grayscale and palette (PNG spec §11.2.2); Adam7 stays seamed
-    ok = (
-        interlace == 0
-        and (
-            (depth in (1, 2, 4) and ctype in (0, 3))
-            or depth == 8
-            or (depth == 16 and ctype != 3)
-        )
+    # for grayscale and palette (PNG spec §11.2.2)
+    ok = interlace in (0, 1) and (
+        (depth in (1, 2, 4) and ctype in (0, 3))
+        or depth == 8
+        or (depth == 16 and ctype != 3)
     )
     if not ok:
         raise NotImplementedError(
@@ -179,67 +177,89 @@ def _parse_png(data: bytes) -> np.ndarray:
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG missing/malformed PLTE")
     raw = zlib.decompress(bytes(idat))
-    # filters are byte-defined: stride is the packed byte width and the
-    # pixel distance bpp floors at one byte for sub-byte depths
-    stride = (w * channels * depth + 7) // 8
-    if len(raw) < (stride + 1) * h:
-        raise ValueError("truncated PNG raster")
+    # the pixel distance bpp floors at one byte for sub-byte depths
     bpp = max(1, channels * depth // 8)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    p = 0
-    for y in range(h):
-        ft = raw[p]
-        row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
-        p += stride + 1
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub (int() avoids the noisy uint8-overflow
-            # RuntimeWarning; & 0xFF is the intended mod-256 wrap)
-            for i in range(bpp, stride):
-                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
-        elif ft == 2:  # Up (vectorized: uint8 addition wraps mod 256)
-            row += prev
-        elif ft == 3:  # Average
-            for i in range(stride):
-                a = int(row[i - bpp]) if i >= bpp else 0
-                row[i] = (row[i] + (a + int(prev[i])) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = int(row[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                pth = a + b - c
-                pa, pb, pc = abs(pth - a), abs(pth - b), abs(pth - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[y] = row
-        prev = out[y]
-    if depth < 8:
-        # unpack MSB-first sub-byte samples (single-channel by the gate)
-        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+
+    def unfilter(offset: int, pw: int, ph: int):
+        """Unfilter ``ph`` scanlines of a (sub)image ``pw`` pixels wide
+        starting at raw[offset]; each (sub)image's filtering is
+        self-contained (prev row resets). Returns (packed rows, next
+        offset)."""
+        stride = (pw * channels * depth + 7) // 8
+        if len(raw) - offset < (stride + 1) * ph:
+            raise ValueError("truncated PNG raster")
+        out = np.empty((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        p = offset
+        for y in range(ph):
+            ft = raw[p]
+            row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+            p += stride + 1
+            if ft == 0:
+                pass
+            elif ft == 1:  # Sub (int() avoids the noisy uint8-overflow
+                # RuntimeWarning; & 0xFF is the intended mod-256 wrap)
+                for i in range(bpp, stride):
+                    row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+            elif ft == 2:  # Up (vectorized: uint8 addition wraps mod 256)
+                row += prev
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    a = int(row[i - bpp]) if i >= bpp else 0
+                    row[i] = (row[i] + (a + int(prev[i])) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = int(row[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    pth = a + b - c
+                    pa, pb, pc = abs(pth - a), abs(pth - b), abs(pth - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    row[i] = (row[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            out[y] = row
+            prev = out[y]
+        return out, p
+
+    def unpack(rows: np.ndarray, pw: int, ph: int) -> np.ndarray:
+        """Packed unfiltered rows → (ph, pw, channels) integer samples."""
+        if depth == 8:
+            return rows[:, : pw * channels].reshape(ph, pw, channels)
+        if depth == 16:
+            flat = np.frombuffer(rows.tobytes(), dtype=">u2").reshape(ph, -1)
+            return flat[:, : pw * channels].reshape(ph, pw, channels)
+        # sub-byte: MSB-first (single-channel by the gate)
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
         weights = 1 << np.arange(depth - 1, -1, -1)
-        vals = bits.reshape(h, w, depth) @ weights
-        if ctype == 3:
-            pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-            if int(vals.max()) >= len(pal):
-                raise ValueError("PNG palette index out of range")
-            return pal[vals].astype(np.float64) / 255.0
-        return (
-            vals.reshape(h, w, 1).astype(np.float64) / float(2**depth - 1)
-        )
+        return (bits.reshape(ph, pw, depth) @ weights).reshape(ph, pw, 1)
+
+    if interlace == 0:
+        rows, _ = unfilter(0, w, h)
+        samples = unpack(rows, w, h)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        # back on the (x_start, y_start, x_step, y_step) lattices
+        samples = np.zeros((h, w, channels), dtype=np.uint16)
+        off = 0
+        for x0, y0, xs, ys in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + xs - 1) // xs if w > x0 else 0
+            ph = (h - y0 + ys - 1) // ys if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes NO scanlines
+            rows, off = unfilter(off, pw, ph)
+            samples[y0::ys, x0::xs] = unpack(rows, pw, ph)
     if ctype == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        idx = out.reshape(h, w)
+        idx = samples[..., 0]
         if int(idx.max()) >= len(pal):
             raise ValueError("PNG palette index out of range")
         return pal[idx].astype(np.float64) / 255.0
-    if depth == 16:
-        samples = np.frombuffer(out.tobytes(), dtype=">u2")
-        return samples.reshape(h, w, channels).astype(np.float64) / 65535.0
-    return out.reshape(h, w, channels).astype(np.float64) / 255.0
+    return samples.astype(np.float64) / float(2**depth - 1)
 
 
 def _ahash(luma: np.ndarray) -> str:

@@ -684,6 +684,154 @@ class TestPngSubByte:
             _parse_png(bad)
 
 
+class TestPngAdam7:
+    """Adam7 interlace: seven independently-filtered sub-images on the
+    standard lattices. Encoder splits → packs → byte-filters each pass;
+    decode must equal the plain sample grid (and the non-interlaced
+    decode of the same pixels), including tiny images with empty
+    passes and odd dims exercising per-pass row padding."""
+
+    _PASSES = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    @staticmethod
+    def _pack_filter(sub, depth, nch, filters):
+        import numpy as np
+
+        ph, pw, _ = sub.shape
+        stride = (pw * nch * depth + 7) // 8
+        bpp = max(1, nch * depth // 8)
+        packed = []
+        for y in range(ph):
+            if depth == 8:
+                b = sub[y].astype(np.uint8).tobytes()
+            elif depth == 16:
+                b = sub[y].astype(">u2").tobytes()
+            else:
+                bits = []
+                for v in sub[y].reshape(-1):
+                    bits.extend(
+                        (int(v) >> k) & 1 for k in range(depth - 1, -1, -1)
+                    )
+                bits += [0] * (stride * 8 - len(bits))
+                b = np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+            packed.append(
+                np.frombuffer(b + b"\x00" * (stride - len(b)), np.uint8)
+                .astype(np.int32)
+            )
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y, row in enumerate(packed):
+            ft = filters[y % len(filters)]
+            enc = row.copy()
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    enc[i] = row[i] - a
+                elif ft == 2:
+                    enc[i] = row[i] - b
+                elif ft == 3:
+                    enc[i] = row[i] - (a + b) // 2
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    enc[i] = row[i] - pred
+            raw.append(ft)
+            raw += bytes((enc % 256).astype(np.uint8))
+            prev = row
+        return raw
+
+    @classmethod
+    def _png_adam7(cls, arr, depth, filters, palette=None):
+        import struct
+        import zlib
+
+        h, w, nch = arr.shape
+        ctype = 3 if palette is not None else {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+        def chunk(typ, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + typ
+                + payload
+                + struct.pack(">I", zlib.crc32(typ + payload))
+            )
+
+        raw = bytearray()
+        for x0, y0, xs, ys in cls._PASSES:
+            sub = arr[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += cls._pack_filter(sub, depth, nch, filters)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+        plte = (
+            b"" if palette is None else chunk(b"PLTE", bytes(palette.reshape(-1)))
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + plte
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_adam7_8bit_rgb_matches_plain(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_png
+
+        rng = np.random.default_rng(41)
+        arr = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        png_i = self._png_adam7(arr, 8, filters=[0, 1, 2, 3, 4])
+        got = _parse_png(png_i)
+        np.testing.assert_array_equal(
+            np.round(got * 255).astype(np.uint8), arr
+        )
+        # identical pixels to the non-interlaced encoding of the same arr
+        png_p = TestMultimodal._png(arr, filters=[4, 3, 2, 1, 0])
+        np.testing.assert_array_equal(got, _parse_png(png_p))
+
+    def test_adam7_16bit_gray_and_4bit_palette(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_png
+
+        rng = np.random.default_rng(43)
+        g16 = rng.integers(0, 65536, size=(5, 9, 1), dtype=np.uint16)
+        got = _parse_png(self._png_adam7(g16, 16, filters=[2, 4, 0, 1, 3]))
+        np.testing.assert_array_equal(
+            np.round(got * 65535).astype(np.uint16), g16
+        )
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(7, 5, 1))
+        got = _parse_png(
+            self._png_adam7(idx, 4, filters=[1, 0, 4], palette=pal)
+        )
+        np.testing.assert_array_equal(
+            np.round(got * 255).astype(np.uint8), pal[idx[..., 0]]
+        )
+
+    def test_adam7_tiny_images_with_empty_passes(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_png
+
+        rng = np.random.default_rng(47)
+        for h, w in [(1, 1), (3, 2), (2, 5), (8, 1)]:
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            got = _parse_png(self._png_adam7(arr, 8, filters=[0, 2]))
+            np.testing.assert_array_equal(
+                np.round(got * 255).astype(np.uint8), arr
+            )
+
+
 class TestAviFrames:
     """Real video frame sampling: uncompressed-DIB AVI parsed with
     stdlib struct; sampled frame hashes pinned against direct numpy on
