@@ -480,6 +480,11 @@ def _decode_audio(payload: bytes, fake: bool):
             x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
         elif sw == 4:
             x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        elif sw == 3:  # 24-bit PCM: little-endian byte triples, sign-extended
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
         else:
             raise NotImplementedError(f"unsupported WAV sample width {sw}")
         if nch > 1:

@@ -235,6 +235,39 @@ class TestMultimodal:
             wv.writeframes(frames)
         return buf.getvalue()
 
+    def test_real_wav_24bit(self, spark):
+        """24-bit PCM WAV: little-endian byte triples sign-extended;
+        rms / zero-crossings pinned against a direct numpy replay."""
+        import io
+        import wave
+
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import MEDIA_SCHEMA
+
+        rng = np.random.default_rng(59)
+        vals = rng.integers(-(1 << 23), 1 << 23, size=64, dtype=np.int64)
+        frames = b"".join(
+            int(v).to_bytes(3, "little", signed=True) for v in vals
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(3)
+            wv.setframerate(8000)
+            wv.writeframes(frames)
+        df = spark.createDataFrame(
+            [("a24", "audio", buf.getvalue(), "audio/wav", None, None, None)],
+            MEDIA_SCHEMA,
+        )
+        r = audio_features(df, fake=False).collect()[0]
+        x = vals.astype(np.float64) / float(1 << 23)
+        assert r.duration_ms == 8  # 64 frames at 8 kHz
+        assert abs(r.rms - float(np.sqrt(np.mean(x * x)))) < 1e-12
+        assert r.zero_crossings == int(
+            np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
+        )
+
     def test_real_ppm_image_decode(self, spark):
         """The non-fake image path end-to-end on stdlib-parsable PPM
         (VERDICT r3 #7): mean luma and dimensions match a direct numpy
