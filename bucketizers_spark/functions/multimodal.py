@@ -2,18 +2,20 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
-deterministic fake features) is real and tested. Four REAL codecs run
-natively here — netpbm PPM (P6/P3) and 8/16-bit non-interlaced PNG
-images (stdlib zlib inflate + scanline unfilter, no PIL), PCM WAV
-audio, and uncompressed-DIB AVI video (RIFF walk + BI_RGB frame
-decode, the format ffmpeg writes via ``-c:v rawvideo``), all
-stdlib+numpy — so every modality's non-fake path executes end-to-end
-in this container; richer formats (JPEG/MP3/MP4 via PIL/ffmpeg/
-torchaudio) are NOT available and stay isolated behind the same
-``_decode_*``/``_parse_*`` seams, raising ``NotImplementedError``
-unless ``fake=True`` — the deterministic fake derives features from
-the bytes themselves (sha256-seeded), so pipelines are end-to-end
-testable regardless of codec availability.
+deterministic fake features) is real and tested. Four REAL codec
+families run natively here — the whole netpbm family (P1-P6: bitmap/
+gray/RGB, ascii+binary, 8/16-bit maxvals), complete non-interlaced AND
+Adam7-interlaced PNG (stdlib zlib inflate + scanline unfilter, every
+legal depth/ctype pair, no PIL), PCM WAV audio (8/16/24/32-bit), and
+uncompressed-DIB AVI video (RIFF walk + BI_RGB frame decode, the
+format ffmpeg writes via ``-c:v rawvideo``), all stdlib+numpy — so
+every modality's non-fake path executes end-to-end in this container;
+richer formats (JPEG/MP3/MP4 via PIL/ffmpeg/torchaudio) are NOT
+available and stay isolated behind the same ``_decode_*``/``_parse_*``
+seams, raising ``NotImplementedError`` unless ``fake=True`` — the
+deterministic fake derives features from the bytes themselves
+(sha256-seeded), so pipelines are end-to-end testable regardless of
+codec availability.
 
 Design notes for 100 TB:
 - binary payloads stay in the executor JVM until the Arrow transfer of the
@@ -87,26 +89,57 @@ def _ppm_header(data: bytes, ntok: int = 3):
     return toks, i + 1  # one whitespace byte after maxval
 
 
-def _parse_ppm(data: bytes):
-    """Decode netpbm P6 (binary) / P3 (ascii) RGB into an (h, w, 3)
-    float64 array in [0, 1]. Pure stdlib+numpy — the real (non-fake)
-    image path this container can execute end-to-end."""
+def _parse_netpbm(data: bytes):
+    """Decode the whole netpbm family — P1/P4 bitmap (1 = BLACK, P4
+    rows packed MSB-first and byte-aligned), P2/P5 grayscale, P3/P6
+    RGB; ascii and binary, 8- and 16-bit maxvals — into an (h, w, c)
+    float64 array in [0, 1] (c = 3 for PPM, 1 otherwise). Pure
+    stdlib+numpy — the real (non-fake) image path this container can
+    execute end-to-end."""
     magic = data[:2]
-    (w_b, h_b, mx_b), off = _ppm_header(data)
-    w, h, maxval = int(w_b), int(h_b), int(mx_b)
+    if magic in (b"P3", b"P6"):
+        nch, ntok = 3, 3
+    elif magic in (b"P2", b"P5"):
+        nch, ntok = 1, 3
+    elif magic in (b"P1", b"P4"):
+        nch, ntok = 1, 2
+    else:
+        raise ValueError("not a netpbm image")
+    toks, off = _ppm_header(data, ntok=ntok)
+    w, h = int(toks[0]), int(toks[1])
+    maxval = int(toks[2]) if ntok == 3 else 1
     if w <= 0 or h <= 0 or maxval <= 0:
-        raise ValueError("invalid PPM dimensions")
-    if magic == b"P6":
+        raise ValueError("invalid netpbm dimensions")
+    n = w * h * nch
+    if magic == b"P4":  # packed bits, each row padded to a byte
+        stride = (w + 7) // 8
+        rows = np.frombuffer(data, np.uint8, stride * h, off).reshape(
+            h, stride
+        )
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        return (1.0 - bits).astype(np.float64).reshape(h, w, 1)  # 1=black
+    if magic == b"P1":  # ascii bits; whitespace between digits optional
+        body = data[off - 1 :]
+        digits = [c - 0x30 for c in body if c in (0x30, 0x31)]
+        if len(digits) < n:
+            raise ValueError("truncated P1 raster")
+        arr = 1.0 - np.array(digits[:n], dtype=np.float64)
+        return arr.reshape(h, w, 1)
+    if magic in (b"P5", b"P6"):
         if maxval < 256:
-            arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=off)
+            arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
         else:
-            arr = np.frombuffer(data, dtype=">u2", count=w * h * 3, offset=off)
-    else:  # P3: ascii sample values
+            arr = np.frombuffer(data, dtype=">u2", count=n, offset=off)
+    else:  # P2 / P3: ascii sample values
         vals = data[off - 1 :].split()
-        if len(vals) < w * h * 3:
-            raise ValueError("truncated P3 raster")
-        arr = np.array(vals[: w * h * 3], dtype=np.float64)
-    return arr.astype(np.float64).reshape(h, w, 3) / maxval
+        if len(vals) < n:
+            raise ValueError("truncated ascii netpbm raster")
+        arr = np.array(vals[:n], dtype=np.float64)
+    return arr.astype(np.float64).reshape(h, w, nch) / maxval
+
+
+# historical name: the decoder grew from PPM-only to the whole family
+_parse_ppm = _parse_netpbm
 
 
 def _parse_png(data: bytes) -> np.ndarray:
@@ -274,43 +307,32 @@ def _ahash(luma: np.ndarray) -> str:
     return f"{int(''.join('1' if b else '0' for b in bits), 2):016x}"
 
 
+_NETPBM_MAGICS = (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6")
+
+
 def _decode_image(payload: bytes, fake: bool):
     if fake:
         rng = _fake_rng(payload)
         w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
         return w, h, 3, float(rng.random()), rng.bytes(8).hex()
-    if payload[:2] in (b"P6", b"P3"):
-        rgb = _parse_ppm(payload)
-        h, w = rgb.shape[:2]
-        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        return w, h, 3, float(luma.mean()), _ahash(luma)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        px = _parse_png(payload)
-        h, w, nch = px.shape
-        if nch >= 3:  # RGB / RGBA (alpha ignored for luma)
-            luma = (
-                0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-            )
-        else:  # grayscale / gray+alpha
-            luma = px[..., 0]
-        return w, h, nch, float(luma.mean()), _ahash(luma)
-    raise NotImplementedError(
-        "only PPM (P6/P3) and non-interlaced PNG decode natively in "
-        "this environment; run with fake=True or install PIL on the "
-        "cluster for other formats"
-    )
+    px = _decode_pixels(payload)
+    h, w, nch = px.shape
+    if nch >= 3:  # RGB / RGBA (alpha ignored for luma)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    else:  # grayscale / gray+alpha / bitmap
+        luma = px[..., 0]
+    return w, h, nch, float(luma.mean()), _ahash(luma)
 
 
 def _decode_pixels(payload: bytes) -> np.ndarray:
     """Decode any natively-supported image payload to an (h, w, c) float64
-    array in [0, 1] (the seam `resize_image` shares with the feature
-    extractors)."""
-    if payload[:2] in (b"P6", b"P3"):
-        return _parse_ppm(payload)
+    array in [0, 1] (the seam `_decode_image` and `resize_image` share)."""
+    if payload[:2] in _NETPBM_MAGICS:
+        return _parse_netpbm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _parse_png(payload)
     raise NotImplementedError(
-        "only PPM (P6/P3) and non-interlaced PNG decode natively in "
+        "only netpbm (P1-P6) and non-interlaced PNG decode natively in "
         "this environment; run with fake=True or install PIL on the "
         "cluster for other formats"
     )

@@ -591,6 +591,85 @@ class TestPng16:
         assert bytes(out.payload)[:2] == b"P6"
 
 
+class TestNetpbmFamily:
+    """PGM (P2/P5) grayscale and PBM (P1/P4, 1 = black) bitmap decode:
+    ascii == binary for the same raster, P4 row padding at odd widths,
+    16-bit P5, and composability through features + resize."""
+
+    def test_pgm_ascii_binary_agree(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_netpbm
+
+        rng = np.random.default_rng(67)
+        g = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+        p5 = b"P5\n9 6\n255\n" + g.tobytes()
+        p2 = b"P2\n9 6\n255\n" + " ".join(
+            str(v) for v in g.reshape(-1)
+        ).encode()
+        a, b = _parse_netpbm(p5), _parse_netpbm(p2)
+        assert a.shape == (6, 9, 1)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(
+            np.round(a[..., 0] * 255).astype(np.uint8), g
+        )
+
+    def test_pgm_16bit(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_netpbm
+
+        rng = np.random.default_rng(71)
+        g = rng.integers(0, 65536, size=(3, 4), dtype=np.uint16)
+        p5 = b"P5\n4 3\n65535\n" + g.astype(">u2").tobytes()
+        got = _parse_netpbm(p5)
+        np.testing.assert_allclose(got[..., 0], g / 65535.0, atol=1e-12)
+
+    def test_pbm_packed_and_ascii_inverted(self):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import _parse_netpbm
+
+        rng = np.random.default_rng(73)
+        bits = rng.integers(0, 2, size=(5, 11), dtype=np.uint8)  # odd width
+        packed = np.packbits(bits, axis=1).tobytes()
+        p4 = b"P4\n11 5\n" + packed
+        p1 = b"P1\n11 5\n" + b"\n".join(
+            b"".join(b"%d" % v for v in row) for row in bits
+        )
+        a, b = _parse_netpbm(p4), _parse_netpbm(p1)
+        np.testing.assert_array_equal(a, b)
+        # PBM: 1 means BLACK → 0.0
+        np.testing.assert_array_equal(a[..., 0], 1.0 - bits)
+
+    def test_gray_features_and_resize_end_to_end(self, spark):
+        import numpy as np
+
+        from bucketizers_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            image_features,
+            resize_image,
+        )
+
+        rng = np.random.default_rng(79)
+        g = rng.integers(0, 256, size=(8, 10), dtype=np.uint8)
+        p5 = b"P5\n10 8\n255\n" + g.tobytes()
+        df = spark.createDataFrame(
+            [("g1", "image", p5, "image/x-portable-graymap", 10, 8, None)],
+            MEDIA_SCHEMA,
+        )
+        r = image_features(df, fake=False).collect()[0]
+        assert (r.width, r.height, r.n_channels) == (10, 8, 1)
+        assert abs(r.mean_luma - float((g / 255.0).mean())) < 1e-9
+        out = resize_image(df, out_w=5, out_h=4).collect()[0]
+        assert (out.width, out.height) == (5, 4)
+        # gray input resized → valid RGB P6 with three equal channels
+        feats = image_features(
+            resize_image(df, out_w=5, out_h=4), fake=False
+        ).collect()[0]
+        assert feats.n_channels == 3
+
+
 class TestPngSubByte:
     """Sub-byte PNG depths (1/2/4-bit grayscale and palette): filters
     run over the PACKED bytes with bpp=1, samples unpack MSB-first.
