@@ -43,15 +43,21 @@ from bucketizers_spark.operators.rank import (
 def filter_corpus(docs: DataFrame, *, min_words: int = 5) -> DataFrame:
     """corpus_filter's predicate over an arbitrary documents frame:
     keep docs passing the quality gate, language agreement, and exact
-    dedup (doc is its own md5-canon). Returns the surviving rows of
-    ``docs`` unchanged (all columns)."""
+    dedup (doc is its own md5-canon AMONG gate survivors — gate first,
+    so the canon shuffle moves only survivors; same order as
+    q_corpus_filter and the streaming ingest). Returns the surviving
+    rows of ``docs`` unchanged (all columns)."""
     from bucketizers_spark.functions.quality import gate_predicate
 
+    surv = docs.where(
+        gate_predicate(F.col("text"), F.col("lang"), min_words=min_words)
+    )
     canon = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    keep = gate_predicate(
-        F.col("text"), F.col("lang"), min_words=min_words
-    ) & (canon == F.col("doc_id"))
-    return docs.withColumn("_keep", keep).where("_keep").drop("_keep")
+    return (
+        surv.withColumn("_canon", canon)
+        .where(F.col("_canon") == F.col("doc_id"))
+        .drop("_canon")
+    )
 
 
 def mix_corpus(
