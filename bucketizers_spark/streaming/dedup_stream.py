@@ -53,32 +53,57 @@ CANDIDATES_SCHEMA = T.StructType(
 )
 
 
-def _bucket_pairs_fn(
-    key, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    members = list(state.get[0]) if state.exists else []
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    rows = []
-    if len(pdf):
-        pdf = pdf.sort_values(["seq", "doc_id"]).reset_index(drop=True)
-        band = int(pdf["band"].iloc[0])
-        bkey = str(pdf["band_key"].iloc[0])
-        for doc_id, seq in zip(pdf["doc_id"], pdf["seq"]):
-            did = str(doc_id)
-            for prior in members:
-                rows.append((band, bkey, prior, did, int(seq)))
-            members.append(did)
-    state.update((members,))
-    if rows:
-        yield pd.DataFrame(
-            rows, columns=["band", "band_key", "a_id", "b_id", "b_seq"]
-        )
+def _make_bucket_pairs_fn(max_reps: int | None):
+    """Per-bucket candidate kernel with BOUNDED state: keep at most
+    ``max_reps`` representative ids per band-bucket (the first-arrived
+    — same tie order as everything else in this module) and emit each
+    arriving doc against the representatives only.
+
+    Why this is safe: a hot bucket is, overwhelmingly, a flood of true
+    duplicates (the 10k-copy boilerplate page); every arrival still
+    pairs with representative #1, so connected-component closure
+    (batch dedup_cluster, which candidates feed) reconstructs the full
+    cluster from the star graph exactly as it would from the uncapped
+    clique — the pytest pins that equality on a planted 10k-copy
+    cluster. What the cap can lose: in a MIXED bucket holding more
+    than ``max_reps`` mutually-unrelated docs (hash-collision false
+    positives), a true pair arriving after the cap is only probed via
+    the representatives — each of the other bands gives that pair an
+    independent chance, which is the standard banded-LSH redundancy
+    argument. Uncapped (max_reps=None) state is O(bucket population)
+    and cumulative candidate volume O(n^2) on the hot bucket — the
+    r5-flagged scale hazard this bound removes."""
+
+    def fn(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        members = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        rows = []
+        if len(pdf):
+            pdf = pdf.sort_values(["seq", "doc_id"]).reset_index(drop=True)
+            band = int(pdf["band"].iloc[0])
+            bkey = str(pdf["band_key"].iloc[0])
+            for doc_id, seq in zip(pdf["doc_id"], pdf["seq"]):
+                did = str(doc_id)
+                for prior in members:
+                    rows.append((band, bkey, prior, did, int(seq)))
+                if max_reps is None or len(members) < max_reps:
+                    members.append(did)
+        state.update((members,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["band", "band_key", "a_id", "b_id", "b_seq"]
+            )
+
+    return fn
 
 
 def minhash_candidates_stream(
     stream_df: DataFrame,
     *,
     text_col: str = "text",
+    max_reps: int | None = 64,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup CANDIDATE generation: each arriving
     document's band keys probe per-bucket keyed state (the doc ids seen
@@ -97,12 +122,14 @@ def minhash_candidates_stream(
     would duplicate the corpus into the state store × bands); candidates
     join back to the stored corpus for rescoring — the standard
     candidate-generation / verification split (the batch ngram_jaccard
-    IS that verifier). State per bucket = its member-id list: exactly
-    the bucket population the batch self-join materializes, bounded by
-    design of the 16-hex band keys (see BENCH/PLANS.md LSH table —
-    measured max bucket 3-4 on near-uniform data; a pathological
-    all-identical corpus concentrates one bucket, which is a data
-    property, not a plan property)."""
+    IS that verifier). State per bucket = at most ``max_reps``
+    representative ids (first-arrived; None = unbounded): typical
+    buckets hold 3-4 members (BENCH/PLANS.md LSH table) so reps ==
+    population and candidates equal the batch band self-join exactly;
+    a hot bucket (a 10k-copy duplicate flood) caps at max_reps ids and
+    O(n·max_reps) cumulative candidates instead of O(n) state / O(n^2)
+    candidates, and component closure still recovers the full cluster
+    through representative #1 (see _make_bucket_pairs_fn)."""
     from bucketizers_spark.entry_queries import (
         _minhash_stacked,
         _with_shingles,
@@ -114,7 +141,7 @@ def minhash_candidates_stream(
         _with_shingles(stream_df), extra_cols=("seq",)
     )
     return stacked.groupBy("band", "band_key").applyInPandasWithState(
-        _bucket_pairs_fn,
+        _make_bucket_pairs_fn(max_reps),
         outputStructType=CANDIDATES_SCHEMA,
         stateStructType=_BUCKET_STATE,
         outputMode="append",
@@ -132,6 +159,7 @@ def lsh_candidates_stream(
     bits: int = 16,
     bands: int = 16,
     seed: int = 20260816,
+    max_reps: int | None = 64,
 ) -> DataFrame:
     """Streaming sign-LSH near-dup candidates over an EMBEDDING column —
     the third member of the streaming dedup family (exact / minhash /
@@ -140,7 +168,9 @@ def lsh_candidates_stream(
     (operators/lsh.sign_lsh_buckets — seeded hyperplanes, vectorized
     Arrow matmul), so streaming candidate sets equal the batch band
     self-join; exact-cosine rescoring joins candidates back to the
-    stored corpus exactly like the batch emb_near_dup path."""
+    stored corpus exactly like the batch emb_near_dup path. Per-bucket
+    state is capped at ``max_reps`` representatives exactly as in
+    minhash_candidates_stream (see _make_bucket_pairs_fn)."""
     from bucketizers_spark.operators.lsh import sign_lsh_buckets
 
     buckets = sign_lsh_buckets(
@@ -159,7 +189,7 @@ def lsh_candidates_stream(
         F.col("bucket").alias("band_key"),
     )
     return keyed.groupBy("band", "band_key").applyInPandasWithState(
-        _bucket_pairs_fn,
+        _make_bucket_pairs_fn(max_reps),
         outputStructType=CANDIDATES_SCHEMA,
         stateStructType=_BUCKET_STATE,
         outputMode="append",

@@ -309,3 +309,122 @@ class TestLshCandidatesStream:
         # every planted twin collides with its original in all 16 bands
         twins = {p for p in got if p[2][0] == "t" or p[3][0] == "t"}
         assert len(twins) >= 16 * len(pdf[pdf.vec_id.str.startswith("t")])
+
+
+def _components(pairs) -> frozenset:
+    """Driver-side union-find over (a_id, b_id) edges (test-only;
+    the engine-side closure is operators/graph.connected_components)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for x in parent:
+        comps.setdefault(find(x), set()).add(x)
+    return frozenset(frozenset(s) for s in comps.values())
+
+
+class TestBucketStateCap:
+    """The r5-flagged scale hazard: uncapped per-bucket state grows
+    O(n) and cumulative candidates O(n^2) on a hot bucket (a duplicate
+    flood). max_reps caps both; these tests pin that the cap (a)
+    actually bounds the emitted-representative set per bucket, and (b)
+    loses nothing after connected-component closure."""
+
+    @staticmethod
+    def _run(spark, pdf, chunk_dir, out_dir, ckpt, max_reps, n_chunks=3):
+        stage_chunks(pdf, chunk_dir, n_chunks=n_chunks)
+        from bucketizers_spark.streaming.dedup_stream import (
+            minhash_candidates_stream,
+        )
+
+        cands = minhash_candidates_stream(
+            _read_stream(spark, chunk_dir), max_reps=max_reps
+        )
+        q = (
+            cands.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(out_dir).collect()
+
+    def test_hot_bucket_10k_copies_bounded(self, spark, workdir):
+        """A planted 10k-copy cluster: state (witnessed by the distinct
+        a_id set per bucket) stays <= max_reps, candidate volume stays
+        O(n * max_reps), and closure still yields the ONE full cluster
+        an uncapped run would give (provable without running uncapped,
+        which would emit ~10^8 pairs: identical texts share every band
+        bucket, and every arrival pairs with representative #1)."""
+        n = 10_000
+        rows = [(i, f"d{i:05d}", "the same boilerplate page text body")
+                for i in range(n)]
+        pdf = pd.DataFrame(rows, columns=["seq", "doc_id", "text"])
+        k = 4
+        got = self._run(
+            spark, pdf,
+            os.path.join(workdir, "chunks"),
+            os.path.join(workdir, "out"),
+            os.path.join(workdir, "ckpt"),
+            max_reps=k,
+        )
+        # (a) bounded state: per bucket, only the first k arrivals are
+        # ever emitted as a_id; volume is n*k per band, not n^2/2
+        per_bucket: dict = {}
+        for r in got:
+            per_bucket.setdefault((r.band, r.band_key), set()).add(r.a_id)
+        assert per_bucket, "hot bucket produced no candidates"
+        first_k = {f"d{i:05d}" for i in range(k)}
+        for bucket, a_ids in per_bucket.items():
+            assert len(a_ids) <= k
+            assert a_ids <= first_k
+        n_bands = len(per_bucket)
+        assert len(got) <= n_bands * n * k
+        # (b) closure: the star graph reconnects all 10k copies
+        comps = _components((r.a_id, r.b_id) for r in got)
+        assert comps == frozenset(
+            [frozenset(f"d{i:05d}" for i in range(n))]
+        )
+
+    def test_capped_closure_equals_uncapped(self, spark, workdir):
+        """Mixed corpus where the cap binds (a 60-copy flood + organic
+        near-dups): post-closure components of the capped run equal the
+        uncapped run's exactly."""
+        rows = []
+        seq = 0
+        for i in range(120):
+            if i < 60:
+                text = "flood page shared by many mirror sites"
+            elif i % 3 == 2 and i >= 63:
+                text = f"organic document body number {i - 3}"
+            else:
+                text = f"organic document body number {i}"
+            rows.append((seq, f"m{i:05d}", text))
+            seq += 1
+        pdf = pd.DataFrame(rows, columns=["seq", "doc_id", "text"])
+        capped = self._run(
+            spark, pdf,
+            os.path.join(workdir, "c1"), os.path.join(workdir, "o1"),
+            os.path.join(workdir, "k1"), max_reps=3,
+        )
+        uncapped = self._run(
+            spark, pdf,
+            os.path.join(workdir, "c2"), os.path.join(workdir, "o2"),
+            os.path.join(workdir, "k2"), max_reps=None,
+        )
+        assert len(capped) < len(uncapped)  # the cap actually bound
+        assert _components(
+            (r.a_id, r.b_id) for r in capped
+        ) == _components((r.a_id, r.b_id) for r in uncapped)
