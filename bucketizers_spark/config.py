@@ -88,8 +88,19 @@ class JobSpec:
         validate_spec(self)
 
 
-def validate_spec(spec: JobSpec) -> None:
-    """Plain-Python port of the shape.ttl constraints (O11)."""
+def validate_spec(spec: JobSpec, *, streaming: bool = False) -> None:
+    """Plain-Python port of the shape.ttl constraints (O11).
+
+    ``streaming=True`` additionally applies the streaming-engine
+    restrictions so a bad spec fails HERE, at configuration time,
+    instead of as a NotImplementedError when the stream starts: session
+    windows are refused anywhere inside a streaming multi (stage-0 or
+    child) — a session window AGGREGATES members into one row per
+    (key, session) rather than assigning each member a bucket, so there
+    is no per-member bucket stream to page or compose (the standalone
+    session aggregation is streaming.windows.session_stream; the
+    reference has no time semantics at all). Mirrors the refusal in
+    streaming/compose.stages_from_spec, which calls this first."""
     if spec.strategy not in STRATEGIES:
         raise ConfigError(
             f"unknown bucketType {spec.strategy!r}; expected one of "
@@ -108,6 +119,21 @@ def validate_spec(spec: JobSpec) -> None:
         for sub in spec.configs:
             if sub.strategy == "multi":
                 raise ConfigError("multi cannot nest multi")
+            if (
+                streaming
+                and sub.strategy == "time"
+                and sub.window is not None
+                and sub.window.kind == "session"
+            ):
+                raise ConfigError(
+                    "streaming multi does not support session-window "
+                    "stages: a session window aggregates members into "
+                    "one row per (key, session) instead of assigning "
+                    "each member a bucket, so there is no per-member "
+                    "bucket stream to page or compose (use tumbling/"
+                    "sliding, or the standalone "
+                    "streaming.windows.session_stream)"
+                )
     if spec.strategy == "time":
         win = spec.window or WindowSpec()
         if win.kind not in WINDOW_KINDS:
@@ -121,9 +147,11 @@ def validate_spec(spec: JobSpec) -> None:
         raise ConfigError("saltBuckets must be a non-negative integer")
 
 
-def spec_from_dict(d: dict[str, Any]) -> JobSpec:
+def spec_from_dict(d: dict[str, Any], *, streaming: bool = False) -> JobSpec:
     """Build a JobSpec from a plain dict (the JSON job-spec front door,
-    analog of createBucketizerLD, bucketizers.ts:48-55)."""
+    analog of createBucketizerLD, bucketizers.ts:48-55). Pass
+    ``streaming=True`` when the spec will drive a streaming job so the
+    streaming-engine restrictions are checked at build time too."""
     d = dict(d)
     if "window" in d and isinstance(d["window"], dict):
         d["window"] = WindowSpec(**d["window"])
@@ -131,4 +159,7 @@ def spec_from_dict(d: dict[str, Any]) -> JobSpec:
         d["configs"] = [
             c if isinstance(c, JobSpec) else spec_from_dict(c) for c in d["configs"]
         ]
-    return JobSpec(**d)
+    spec = JobSpec(**d)
+    if streaming:
+        validate_spec(spec, streaming=True)
+    return spec

@@ -331,10 +331,14 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
         return _parse_netpbm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from bucketizers_spark.functions.jpeg import parse_jpeg
+
+        return parse_jpeg(payload)
     raise NotImplementedError(
-        "only netpbm (P1-P6) and non-interlaced PNG decode natively in "
-        "this environment; run with fake=True or install PIL on the "
-        "cluster for other formats"
+        "only netpbm (P1-P6), PNG, and baseline-sequential JPEG decode "
+        "natively in this environment; run with fake=True or install "
+        "PIL on the cluster for other formats"
     )
 
 

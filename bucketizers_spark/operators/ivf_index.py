@@ -135,9 +135,22 @@ class IvfIndex:
             .select(query_id_col, query_emb_col, "cell")
         )
         members = cells.join(emb.select(id_col, emb_col), id_col)
-        cand = probes.join(members, "cell").where(
-            F.col(id_col) != F.col(query_id_col)
-        )
+        # self-match exclusion only applies when the corpus-id and
+        # query-id columns share a type — i.e. the ids live in one id
+        # space where a query CAN be its own corpus row. With different
+        # types the spaces are disjoint by construction and the old
+        # unconditional != either silently discarded every candidate
+        # (cast → NULL) or threw under ANSI casting (ADVICE r5); the
+        # plan-time type check sidesteps both. Null-safe negation so a
+        # NULL corpus id is kept as an ordinary non-self candidate.
+        cand = probes.join(members, "cell")
+        if (
+            emb.schema[id_col].dataType
+            == queries.schema[query_id_col].dataType
+        ):
+            cand = cand.where(
+                ~F.col(id_col).eqNullSafe(F.col(query_id_col))
+            )
         sim = F.round(_cosine(F.col(query_emb_col), F.col(emb_col)), 4)
         scored = (
             cand.select(query_id_col, id_col, sim.alias("sim_r4"))

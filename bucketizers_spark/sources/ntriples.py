@@ -140,10 +140,12 @@ def _unescape(col, *, decode_uchar: bool = False):
     """Decode N-Triples string escapes. With ``decode_uchar`` the whole
     job runs in _unescape_py — one left-to-right Arrow-batched pass that
     handles ECHAR + UCHAR + backslash pairs with no sentinel. Without it
-    (the fully-JVM plan), a regexp_replace chain decodes ECHAR only;
-    backslash PAIRS are protected with the \\x1f sentinel first so a
-    literal backslash followed by 'n' round-trips as backslash+n, not a
-    newline."""
+    (the fully-JVM plan), a regexp_replace chain decodes the SAME full
+    ECHAR set as the Python path (\" \\\\ \\n \\t \\r \\b \\f \\') so
+    ``decode_uchar`` toggles UCHAR handling only, never ECHAR
+    semantics; backslash PAIRS are protected with the \\x1f sentinel
+    first so a literal backslash followed by 'n' round-trips as
+    backslash+n, not a newline."""
     if decode_uchar:
         return _unescape_py(col)
     c = F.regexp_replace(col, r"\\\\", _SEP)
@@ -151,6 +153,9 @@ def _unescape(col, *, decode_uchar: bool = False):
     c = F.regexp_replace(c, r"\\n", "\n")
     c = F.regexp_replace(c, r"\\t", "\t")
     c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\b", "\b")
+    c = F.regexp_replace(c, r"\\f", "\f")
+    c = F.regexp_replace(c, r"\\'", "'")
     return F.regexp_replace(c, _SEP, r"\\")
 
 

@@ -24,9 +24,16 @@ CCNet and cc_net-style pipelines use):
   concatenated into one ``.warc.gz`` stream. ``zlib`` decompresses
   member-concatenated streams via repeated ``decompressobj`` calls with
   ``unused_data`` carry-over — stdlib-only, no external codec.
-- The parser is per-record bounded: it never materializes more than one
-  record body at a time beyond the output batch, and yields records as
-  a pandas frame per file.
+- The parser is per-file bounded: the kernel yields one pandas frame
+  per input FILE (never accumulating a whole Arrow batch of files), so
+  peak executor memory is one decompressed file plus its output frame.
+- Mid-file corruption does not silently drop the tail: the scanner
+  RESYNCS to the next ``\\nWARC/`` boundary after a malformed record
+  (bad magic, unparseable header, missing Content-Length) and counts
+  the bytes it skipped; every emitted row carries its file's total
+  ``skipped_bytes``, and a file that skipped bytes but produced no
+  records emits one NULL-typed marker row (which bypasses the
+  ``record_types`` filter) so dropped tails are always observable.
 
 Caveat carried honestly: a single pathological multi-GB file serializes
 into one task (same as every per-file format — gzip text, avro without
@@ -46,7 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_SCHEMA = (
     "warc_file string, record_offset long, warc_type string, "
     "target_uri string, warc_date string, record_id string, "
-    "content_type string, content_length long, payload binary"
+    "content_type string, content_length long, payload binary, "
+    "skipped_bytes long"
 )
 
 _CRLF = b"\r\n"
@@ -67,21 +75,47 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_bytes(data: bytes, *, keep_payload: bool = True):
+def parse_warc_bytes(
+    data: bytes, *, keep_payload: bool = True, stats: dict | None = None
+):
     """Parse one WARC file's bytes into record dicts. Tolerant of both
-    CRLF (spec) and LF header line endings, and of trailing garbage
-    after the last record (truncated fetches): a malformed tail stops
-    the scan rather than raising, so one bad file yields its good prefix
-    instead of failing the task."""
+    CRLF (spec) and LF header line endings. A malformed record (bad
+    magic, unparseable header block, missing/invalid Content-Length)
+    does NOT end the scan: the scanner resyncs to the next ``\\nWARC/``
+    boundary and continues, so mid-file corruption costs only the
+    corrupt region. A record whose declared body overruns the file
+    (truncated fetch) ends the scan. Pass ``stats`` (a dict) to receive
+    ``skipped_bytes`` / ``resyncs`` counters, updated as the scan
+    progresses. The resync may land on ``WARC/`` bytes inside an
+    undelimited record BODY; the next iteration's header validation
+    rejects such a false boundary and resyncs again, so the worst case
+    is extra skipped bytes, never a corrupt record emitted as good."""
+    if stats is None:
+        stats = {}
+    stats.setdefault("skipped_bytes", 0)
+    stats.setdefault("resyncs", 0)
     data = _gunzip_members(data)
     pos = 0
     n = len(data)
+
+    def resync(from_pos: int, search_from: int) -> int:
+        """Skip to the next plausible record boundary, counting the
+        bytes from ``from_pos`` as lost. Returns the new pos (n = EOF)."""
+        nxt = data.find(b"\nWARC/", search_from)
+        new_pos = (nxt + 1) if nxt != -1 else n
+        stats["skipped_bytes"] += new_pos - from_pos
+        stats["resyncs"] += 1
+        return new_pos
+
     while pos < n:
         # skip inter-record blank lines
         while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
             pos += 1
+        if pos >= n:
+            break
         if not data[pos : pos + 5] == b"WARC/":
-            break  # trailing garbage / truncation: stop at the good prefix
+            pos = resync(pos, pos)
+            continue
         record_offset = pos
         # header block ends at the first blank line
         hdr_end = data.find(b"\r\n\r\n", pos)
@@ -90,6 +124,9 @@ def parse_warc_bytes(data: bytes, *, keep_payload: bool = True):
         if hdr_end == -1 or (lf_end != -1 and lf_end < hdr_end):
             hdr_end, sep_len = lf_end, 2
         if hdr_end == -1:
+            # no header terminator before EOF: unrecoverable tail
+            stats["skipped_bytes"] += n - pos
+            stats["resyncs"] += 1
             break
         headers: dict[str, str] = {}
         for line in data[pos:hdr_end].split(b"\n")[1:]:
@@ -102,10 +139,14 @@ def parse_warc_bytes(data: bytes, *, keep_payload: bool = True):
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
-            break  # spec requires Content-Length; without it the body
-            # boundary is unknowable — stop at the good prefix
+            # spec requires Content-Length; without it this record's
+            # body boundary is unknowable — skip it and resync
+            pos = resync(pos, pos + 5)
+            continue
         body_start = hdr_end + sep_len
         if body_start + clen > n:
+            stats["skipped_bytes"] += n - pos
+            stats["resyncs"] += 1
             break  # truncated body
         yield {
             "record_offset": record_offset,
@@ -135,25 +176,52 @@ def read_warc(
     crawl files are ~50% request/metadata records a training pipeline
     never wants; pass None to keep everything. ``keep_payload=False``
     drops bodies at the source for metadata-only scans (URL dedup, crawl
-    stats) so the Arrow transfer moves only slim rows."""
+    stats) so the Arrow transfer moves only slim rows.
+
+    Observability: each row's ``skipped_bytes`` is the TOTAL bytes its
+    file lost to corruption resyncs (0 on a clean file); a file that
+    skipped bytes but emitted no records (all-corrupt, or every record
+    filtered) yields ONE marker row with NULL warc_type that bypasses
+    the ``record_types`` filter — ``where skipped_bytes > 0`` is the
+    corruption report. The kernel yields one frame per FILE, so peak
+    memory is one decompressed file, not a whole Arrow batch of them."""
     want = set(record_types) if record_types is not None else None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "warc_file", "record_offset", "warc_type", "target_uri",
             "warc_date", "record_id", "content_type", "content_length",
-            "payload",
+            "payload", "skipped_bytes",
         ]
         for pdf in batches:
-            rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                stats: dict = {}
                 for rec in parse_warc_bytes(
-                    bytes(content), keep_payload=keep_payload
+                    bytes(content), keep_payload=keep_payload, stats=stats
                 ):
                     if want is not None and rec["warc_type"] not in want:
                         continue
                     rows.append({"warc_file": fpath, **rec})
-            yield pd.DataFrame(rows, columns=cols)
+                skipped = stats.get("skipped_bytes", 0)
+                if skipped and not rows:
+                    rows.append(
+                        {
+                            "warc_file": fpath,
+                            "record_offset": None,
+                            "warc_type": None,
+                            "target_uri": None,
+                            "warc_date": None,
+                            "record_id": None,
+                            "content_type": None,
+                            "content_length": None,
+                            "payload": None,
+                        }
+                    )
+                if rows:
+                    frame = pd.DataFrame(rows, columns=cols)
+                    frame["skipped_bytes"] = skipped
+                    yield frame
 
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(kernel, WARC_SCHEMA)

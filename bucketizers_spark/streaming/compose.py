@@ -640,6 +640,11 @@ def stages_from_spec(spec) -> list:
         spec = spec_from_dict(spec)
     if spec.strategy != "multi":
         raise ValueError("stages_from_spec takes a multi spec")
+    # fail bad streaming specs at configuration time (ConfigError with
+    # the session-window rationale), not when the stream starts
+    from bucketizers_spark.config import validate_spec
+
+    validate_spec(spec, streaming=True)
 
     def time_bucket(s, sub: JobSpec, parent: str | None):
         win = sub.window

@@ -87,3 +87,21 @@ class TestIvfIndex:
             for r in assign_cells(new, idx.centroids(spark)).collect()
         }
         assert got == want and len(got) == 100
+
+
+    def test_incomparable_query_id_type_keeps_candidates(self, spark, idx_dir):
+        """ADVICE r5: string query ids vs long corpus ids used to NULL
+        out the self-match exclusion and silently return ZERO rows;
+        the null-safe exclusion keeps every candidate instead."""
+        from bucketizers_spark.operators.ivf_index import IvfIndex
+
+        emb = _emb(spark)
+        index = IvfIndex.build(emb, idx_dir, k=8)
+        q = _queries(emb).select(
+            F.concat(F.lit("q"), F.col("query_id").cast("string")
+                     ).alias("query_id"),
+            "qe",
+        )
+        got = index.search(emb, q, nprobe=2, topk=5)
+        n_q = q.count()
+        assert got.count() == n_q * 5

@@ -144,6 +144,33 @@ class TestReadNtriples:
         assert rows["http://ex.org/b3"][0] == "http://ex.org/\\uDFFF"
         assert rows["http://ex.org/b4"][1] == "a\bb\fc"
 
+    def test_echar_parity_between_modes(self, spark, tmp_path):
+        """decode_uchar toggles UCHAR handling ONLY: the JVM regexp
+        chain and the Python path must decode the full ECHAR set
+        (\b \f \' included) identically (ADVICE r5)."""
+        from bucketizers_spark.sources.ntriples import read_ntriples
+
+        nt = "\n".join(
+            [
+                '<http://ex.org/e1> <http://ex.org/p> "a\\bb\\fc\\\'d" .',
+                '<http://ex.org/e2> <http://ex.org/p> '
+                '"tab\\there\\nnl\\rcr\\"q\\\\bs" .',
+            ]
+        )
+        p = tmp_path / "echar.nt"
+        p.write_text(nt)
+        jvm = {
+            r["subject"]: r["object"]
+            for r in read_ntriples(spark, str(p), decode_uchar=False).collect()
+        }
+        py = {
+            r["subject"]: r["object"]
+            for r in read_ntriples(spark, str(p), decode_uchar=True).collect()
+        }
+        assert jvm == py
+        assert jvm["http://ex.org/e1"] == "a\bb\fc\'d"
+        assert jvm["http://ex.org/e2"] == 'tab\there\nnl\rcr"q\\bs'
+
     def test_property_path_to_bucketize(self, spark, tmp_path):
         """knows→name two-hop path over parsed N-Quads, one named graph
         per member (the SDS record shape: a member's quads — including

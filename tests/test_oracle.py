@@ -275,6 +275,44 @@ class TestConfig:
         with pytest.raises(ConfigError):
             spec_from_dict({"strategy": "time", "window": {"kind": "session"}})
 
+    def test_streaming_rejects_session_children_at_spec_time(self):
+        """compose.py's session-child refusal must surface at
+        validation time (ConfigError), not when the stream starts."""
+        session_child = {
+            "strategy": "time",
+            "window": {"kind": "session", "gap": "30 minutes"},
+        }
+        spec = {
+            "strategy": "multi",
+            "configs": [{"strategy": "basic"}, session_child],
+        }
+        # batch multi still accepts it
+        spec_from_dict(spec)
+        # streaming front doors reject it with the rationale
+        with pytest.raises(ConfigError, match="session window aggregates"):
+            spec_from_dict(spec, streaming=True)
+        from bucketizers_spark.streaming.compose import stages_from_spec
+
+        with pytest.raises(ConfigError, match="session window aggregates"):
+            stages_from_spec(spec)
+        # session stage-0 is equally refused
+        with pytest.raises(ConfigError, match="session window aggregates"):
+            spec_from_dict(
+                {"strategy": "multi",
+                 "configs": [session_child, {"strategy": "basic"}]},
+                streaming=True,
+            )
+        # tumbling/sliding children still validate for streaming
+        spec_from_dict(
+            {"strategy": "multi",
+             "configs": [
+                 {"strategy": "basic"},
+                 {"strategy": "time",
+                  "window": {"kind": "tumbling", "duration": "1 hour"}},
+             ]},
+            streaming=True,
+        )
+
     def test_salt_and_dense_knobs(self, spark):
         from pyspark.sql import functions as F
 

@@ -103,6 +103,42 @@ class TestParseWarcBytes:
             "<urn:uuid:2>",
         ]
 
+    def test_mid_file_corruption_resyncs(self):
+        """ADVICE r5: a malformed record mid-file must not silently drop
+        every subsequent record — the scanner resyncs to the next
+        \nWARC/ boundary and counts the skipped bytes."""
+        garbage = b"\x00\xffnot a warc record at all\nstill garbage\n"
+        data = (
+            _record(rid="<urn:uuid:1>")
+            + garbage
+            + _record(rid="<urn:uuid:2>")
+            + _record(rid="<urn:uuid:3>", eol=b"\n")
+        )
+        stats = {}
+        recs = list(parse_warc_bytes(data, stats=stats))
+        assert [r["record_id"] for r in recs] == [
+            "<urn:uuid:1>", "<urn:uuid:2>", "<urn:uuid:3>",
+        ]
+        assert stats["skipped_bytes"] >= len(garbage) - 2
+        assert stats["resyncs"] >= 1
+
+    def test_missing_content_length_skips_one_record(self):
+        """A record without Content-Length is unknowable — skip IT,
+        resync, and keep parsing the rest of the file."""
+        bad = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:bad>\r\n\r\nbody?\r\n\r\n"
+        )
+        data = _record(rid="<urn:uuid:1>") + bad + _record(
+            rid="<urn:uuid:2>"
+        )
+        stats = {}
+        recs = list(parse_warc_bytes(data, stats=stats))
+        assert [r["record_id"] for r in recs] == [
+            "<urn:uuid:1>", "<urn:uuid:2>",
+        ]
+        assert stats["skipped_bytes"] > 0
+
 
 class TestReadWarc:
     def test_reads_responses_across_files(self, spark, warc_dir):
@@ -159,3 +195,32 @@ class TestReadWarc:
             "http://ex.org/c", "http://ex.org/d",
         }
         assert all(r.n_words >= 2 for r in out)
+
+
+class TestWarcObservability:
+    def test_skipped_bytes_column_and_marker_row(self, spark, tmp_path):
+        """Every row carries its file's total skipped_bytes; an
+        all-corrupt file emits one NULL-typed marker row that bypasses
+        the record_types filter."""
+        clean = _record(rid="<urn:uuid:c1>", body=b"HTTP/1.1 200 OK\r\n\r\nok")
+        corrupt_mid = (
+            _record(rid="<urn:uuid:m1>", body=b"HTTP/1.1 200 OK\r\n\r\nx")
+            + b"\x00garbage bytes here\n"
+            + _record(rid="<urn:uuid:m2>", body=b"HTTP/1.1 200 OK\r\n\r\ny")
+        )
+        all_bad = b"\x00\x01this file is not a warc at all"
+        (tmp_path / "clean.warc").write_bytes(clean)
+        (tmp_path / "mid.warc").write_bytes(corrupt_mid)
+        (tmp_path / "bad.warc").write_bytes(all_bad)
+        rows = read_warc(spark, str(tmp_path)).collect()
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r.warc_file.rsplit("/", 1)[-1], []).append(r)
+        assert [r.skipped_bytes for r in by_file["clean.warc"]] == [0]
+        mid = by_file["mid.warc"]
+        assert {r.record_id for r in mid} == {"<urn:uuid:m1>", "<urn:uuid:m2>"}
+        assert all(r.skipped_bytes > 0 for r in mid)
+        marker = by_file["bad.warc"]
+        assert len(marker) == 1
+        assert marker[0].warc_type is None
+        assert marker[0].skipped_bytes == len(all_bad)
