@@ -44,6 +44,7 @@ from bucketizers_spark.operators.multi import (
     trie_within_parent,
 )
 from bucketizers_spark.operators.substring import token_prefix_trie
+from bucketizers_spark.plans.materialize import cut_lineage
 
 _FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -787,7 +788,7 @@ def q_ngram_jaccard(spark, sf_dir):
     docs = _with_shingles(_t(spark, sf_dir, "documents"))
     # materialize the (small) signature frame once — a self-join would
     # otherwise evaluate the whole minhash pipeline on BOTH sides
-    stacked = _minhash_stacked(docs).localCheckpoint()
+    stacked = _minhash_stacked(docs).transform(cut_lineage)
     cand = (
         stacked.alias("x")
         .join(
@@ -1585,7 +1586,7 @@ def q_ann_lsh_recall(spark, sf_dir):
         .where(F.col("_rn") <= 10)
         .select("q_id", "vec_id", "_c")
     )
-    bk = q_ann_lsh(spark, sf_dir).localCheckpoint()
+    bk = q_ann_lsh(spark, sf_dir).transform(cut_lineage)
     qbk = bk.select(
         F.col("vec_id").alias("q_id"), "band", F.col("bucket").alias("qb")
     )
@@ -1670,7 +1671,7 @@ def q_emb_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     # materialize the (small) bucket frame once — a self-join would
     # otherwise run the LSH matmul UDF + embedding scan on BOTH sides
-    buckets = q_ann_lsh(spark, sf_dir).localCheckpoint()
+    buckets = q_ann_lsh(spark, sf_dir).transform(cut_lineage)
     cand = (
         buckets.alias("x")
         .join(
@@ -1908,7 +1909,7 @@ def q_lm_score(spark, sf_dir):
     )
     dw = words.groupBy("doc_id", "lang", "w").agg(
         F.count(F.lit(1)).alias("dcnt")
-    ).localCheckpoint()  # dw feeds the LM build AND the scoring join;
+    ).transform(cut_lineage)  # dw feeds the LM build AND the scoring join;
     # without this the exploded-text lineage (a full corpus scan) is
     # re-derived three times — same fix as tfidf_terms/bm25_search
     lm = dw.groupBy("lang", "w").agg(F.sum("dcnt").alias("cnt"))
@@ -2270,36 +2271,32 @@ FROM m
 def q_tfidf_terms(spark, sf_dir):
     """Top-5 TF-IDF terms per source corpus: tf = term occurrences in
     the source's concatenated text, idf = ln(n_sources / sources
-    containing the term). The shape 100 TB needs: explode + one
-    map-side-combined groupBy per aggregation level, an UNHINTED join of
-    tf against the per-term document frequencies, and a per-source top-k
-    window over the slim (source, term, score) frame — no global sort,
-    no driver-side loops. The df frame is deliberately not broadcast:
-    its cardinality is the corpus vocabulary, which at web scale runs to
-    billions of distinct tokens — far past broadcast limits. AQE decides
-    at runtime: a small measured vocabulary still becomes a broadcast
-    join (the sf0.1 plan confirms BroadcastHashJoin via AQE), while a
-    web-scale vocabulary falls back to a sort-merge/hash join on `term`
-    instead of an executor OOM."""
+    containing the term). The shape 100 TB needs: explode + ONE
+    map-side-combined groupBy, then per-term document frequency as a
+    window COUNT over the tf frame itself — tf holds exactly one row
+    per (source, term), so COUNT(*) OVER (PARTITION BY term) IS the
+    distinct-source count. r6 restructure: this removes r5's
+    tf-branch-vs-df-branch split entirely (which needed either a double
+    corpus scan — the r4 shape — or an eager localCheckpoint whose
+    per-run disk write of the vocabulary frame dominated the r5
+    timing); the corpus text is scanned once, the only wide ops are
+    three shuffles of the slim (source, term, tf) frame, and nothing
+    joins or broadcasts — per-term partitions are bounded by
+    n_sources rows, fine at any vocabulary size."""
     docs = _t(spark, sf_dir, "documents")
     terms = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).where(F.col("term") != "")
     tf = terms.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint()  # both df_ and scored read this frame; without
-    # the cut the df_ branch re-derives the lineage and the corpus text
-    # is exploded + scanned twice (same fix as bm25_search)
-    df_ = tf.groupBy("term").agg(
-        F.countDistinct("source").alias("df")
     )
     n_sources = docs.select("source").distinct().count()
-    scored = tf.join(df_, "term").select(
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tf.select(
         "source",
         "term",
         F.round(
-            F.col("tf")
-            * F.log(F.lit(float(n_sources)) / F.col("df")),
+            F.col("tf") * F.log(F.lit(float(n_sources)) / dfc),
             4,
         ).alias("tfidf_r4"),
     )
@@ -2370,19 +2367,21 @@ def q_bm25_search(spark, sf_dir):
     ).where(F.col("term").isin(*_BM25_TERMS))
     tf = base.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint()  # both tf and dfreq read this frame; without the
-    # cut the dfreq branch re-derives the lineage and the corpus TEXT is
-    # scanned twice — tf itself is slim (≤ |query terms| rows per doc)
+    )
     stats = docs.select(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size(words)).alias("avgdl"),
     ).collect()[0]
     n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
-    dfreq = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # tf holds exactly one row per (doc, term), so the per-term document
+    # frequency is COUNT(*) OVER (PARTITION BY term) on tf itself — no
+    # dfreq branch, no join, and no localCheckpoint (r5's cut avoided a
+    # double corpus scan but materialized non-replicated blocks, which
+    # an executor loss cannot recompute — a reliability hazard at
+    # production executor counts; same r6 restructure as tfidf_terms)
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("term"))
     idf = F.log(
-        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.lit(n_docs) - dfw + 0.5) / (dfw + 0.5) + 1.0
     )
     contrib = idf * (
         F.col("tf") * (_BM25_K1 + 1)
@@ -2391,9 +2390,9 @@ def q_bm25_search(spark, sf_dir):
         + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
     )
     scored = (
-        tf.join(dfreq, "term")
+        tf.select("doc_id", contrib.alias("_c"))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 4).alias("score_r4"))
+        .agg(F.round(F.sum("_c"), 4).alias("score_r4"))
     )
     w = Window.orderBy(F.col("score_r4").desc(), F.col("doc_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(
@@ -2658,13 +2657,13 @@ def q_pmi_bigrams(spark, sf_dir):
     from bucketizers_spark.functions.ngrams import word_ngrams
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("text").localCheckpoint()  # one corpus scan
+    toks = docs.select("text").transform(cut_lineage)  # one corpus scan
     # feeds the unigram AND bigram counts; same fix as lm_score/tfidf
     uni = (
         toks.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()  # vocab frame feeds both joins + the total
+        .transform(cut_lineage)  # vocab frame feeds both joins + the total
     )
     bi = (
         toks.select(F.explode(word_ngrams(F.col("text"), 2)).alias("g"))

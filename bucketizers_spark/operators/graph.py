@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from bucketizers_spark.plans.materialize import cut_lineage
 
 
 def connected_components(
@@ -65,19 +66,19 @@ def connected_components(
     # jaccard rescore here) twice
     e0 = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     und = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     labels = (
         und.select(F.col("a").alias(node_col))
         .union(und.select(F.col("b").alias(node_col)))
         .distinct()
         .withColumn("component", F.col(node_col))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     for _ in range(max_rounds):
         # neighbor labels: edge (a,b) proposes b's current label to a
@@ -106,7 +107,7 @@ def connected_components(
                 .cast("long")
                 .alias("_chg"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda d: cut_lineage(d, eager=False))
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
         labels = new_labels.drop("_chg")
@@ -171,7 +172,7 @@ def connected_components_star(
             F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     converged = False
     for _ in range(max_rounds):
@@ -192,7 +193,7 @@ def connected_components_star(
                 F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
             )
             .distinct()
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         # ---- small-star (over the large-star output)
         und1 = e1.select(F.col("x").alias("a"), F.col("y").alias("b")).union(
@@ -211,7 +212,7 @@ def connected_components_star(
                 F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
             )
             .distinct()
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         same_count = e_new.count() == e.count()
         if same_count:

@@ -34,6 +34,7 @@ import random
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from bucketizers_spark.plans.materialize import cut_lineage
 
 
 def hyperplanes(
@@ -109,7 +110,7 @@ def lsh_candidate_pairs(
     buckets = sign_lsh_buckets(
         df.select(id_col, emb_col), emb_col,
         dim=dim, bits=bits, bands=bands, seed=seed, id_cols=[id_col],
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     return (
         buckets.alias("x")
         .join(

@@ -42,6 +42,7 @@ from bucketizers_spark.operators.core import (
     empty_seals,
     relation_row,
 )
+from bucketizers_spark.plans.materialize import cut_lineage
 
 
 def paged_within_parent(
@@ -335,7 +336,7 @@ def trie_within_parent(
     )
     walked = (
         work.groupBy(parent_col).applyInPandas(walk_group, out_schema)
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     bucket_map = walked.where(F.col("kind") == "a").select(seq_col, "bucket_id")
     assignments = df.join(bucket_map, seq_col, "inner").withColumnRenamed(
         "bucket_id", out_col

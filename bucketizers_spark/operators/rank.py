@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from bucketizers_spark.plans.materialize import cut_lineage
 
 
 #: Below this row count a single-task window sort is cheaper than the
@@ -59,7 +60,7 @@ def with_global_rank0(
     # (b) persist() registers the plan in the CacheManager, whose lookup
     # against every later query measurably poisons unrelated plan analysis
     # when these frames leak (observed: 45s plans after a dozen queries).
-    mat = df.localCheckpoint()
+    mat = df.transform(cut_lineage)
     if single_task_threshold and mat.count() <= single_task_threshold:
         w = Window.orderBy(order_col)
         return mat.withColumn(
@@ -68,7 +69,7 @@ def with_global_rank0(
     parted = (
         mat.repartitionByRange(p, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     counts = {
         r["_pid"]: r["cnt"]
@@ -115,7 +116,7 @@ def with_global_prefix_sum(
     p = partitions or spark.sparkContext.defaultParallelism
     if single_task_threshold is None:
         single_task_threshold = SINGLE_TASK_THRESHOLD
-    mat = df.localCheckpoint()  # same reasoning as with_global_rank0
+    mat = df.transform(cut_lineage)  # same reasoning as with_global_rank0
     excl = (Window.unboundedPreceding, -1)
     if single_task_threshold and mat.count() <= single_task_threshold:
         w = Window.orderBy(order_col).rowsBetween(*excl)
@@ -126,7 +127,7 @@ def with_global_prefix_sum(
     parted = (
         mat.repartitionByRange(p, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     sums = {
         r["_pid"]: r["s"]

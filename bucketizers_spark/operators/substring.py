@@ -67,6 +67,7 @@ from bucketizers_spark.operators.core import (
     relation_row,
 )
 from bucketizers_spark.functions.normalize import normalize_substring_col
+from bucketizers_spark.plans.materialize import cut_lineage
 
 # Separator for per-parent streaming counter keys: parent<US>node. Parent
 # bucket ids may contain '/' (geo tiles, subject pages), so 'parent/node'
@@ -423,7 +424,7 @@ def _grouped_walk(
             return (
                 remaining.groupBy(parent_col, chain.node(level).alias("_g"))
                 .applyInPandas(walk_parent, out_schema)
-                .localCheckpoint()
+                .transform(cut_lineage)
             )
 
         # streaming per-parent: carried counters are parent\x1fnode (_PSEP)
@@ -465,7 +466,7 @@ def _grouped_walk(
             remaining.groupBy(parent_col, chain.node(level).alias("_g"))
             .cogroup(st.groupBy(parent_col, "_g"))
             .applyInPandas(walk_parent_cogroup, out_schema)
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
 
     keyed = remaining.groupBy(chain.node(level).alias("_g"))
@@ -474,7 +475,7 @@ def _grouped_walk(
         def walk_group(pdf: pd.DataFrame) -> pd.DataFrame:
             return walk_with_counters(pdf, {})
 
-        return keyed.applyInPandas(walk_group, out_schema).localCheckpoint()
+        return keyed.applyInPandas(walk_group, out_schema).transform(cut_lineage)
 
     # streaming: route carried counters (nodes at chain level >= L only;
     # the literal root row is level-0 bookkeeping) to their subtrie group
@@ -499,7 +500,7 @@ def _grouped_walk(
     return (
         keyed.cogroup(st.groupBy("_g"))
         .applyInPandas(walk_cogroup, out_schema)
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
 
 
@@ -628,7 +629,7 @@ def _run_cascade(
         # thr_df is one row per distinct parent — broadcast (the cascade
         # path targets few giant parents; high-cardinality parents belong
         # on the per-group walk, where groups are small)
-        work = work.join(F.broadcast(thr_df), parent_col, "left").localCheckpoint()
+        work = work.join(F.broadcast(thr_df), parent_col, "left").transform(cut_lineage)
         placed0_cond = (F.col("_rcap") > 0) & (
             F.col("_rthr").isNull() | (F.col(seq_col) <= F.col("_rthr"))
         )
@@ -786,7 +787,7 @@ def _run_cascade(
                 F.max(
                     F.when(F.col("_rn") == 1, (~F.col("_terminal")).cast("int"))
                 ).over(wfull),
-            ).localCheckpoint()
+            ).transform(cut_lineage)
 
             exists = F.col("_st_cnt").isNotNull()
             # capacity available to non-terminal arrivals this batch:
@@ -885,7 +886,7 @@ def _run_cascade(
                 .alias("_nt_thr"),
             )
 
-            step = lvl.join(node_aggs, [*pcols, "_node"]).localCheckpoint()
+            step = lvl.join(node_aggs, [*pcols, "_node"]).transform(cut_lineage)
             exists = F.col("_st_cnt").isNotNull()
             placed_nt = ~F.col("_terminal") & (
                 F.col("_nt_thr").isNull()
