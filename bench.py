@@ -59,6 +59,7 @@ HEADLINE = [
     "ngram_diversity",
     "segment_dedup_cdc",
     "sample_fixed",
+    "gopher_rules",
 ]
 
 

@@ -1794,6 +1794,111 @@ SELECT doc_id, lang, {_sql_lang_pred_expr()} AS pred_lang FROM w
 SQL_LANG_GUESS = _sql_lang_guess()
 
 
+# Gopher-style word-level quality rules (Rae et al. 2021, §A1.1 — the
+# canonical pretraining quality-filter family; the line-level rules are
+# omitted because the fixture corpus is single-line by construction).
+# Thresholds follow the paper where the fixture makes them meaningful.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_WLEN_LO = 3.0
+_GOPHER_WLEN_HI = 10.0
+_GOPHER_SYMBOL_MAX = 0.10
+_GOPHER_ALPHA_MIN = 0.80
+_GOPHER_MIN_STOPS = 2
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules per document: word-count bounds, mean word
+    length in [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1,
+    >= 80% of words containing an alphabetic character, and >= 2
+    stop-words — each rule surfaced as its own column plus the overall
+    pass flag, because a curation pipeline tunes and ablates rules
+    individually before composing them. Everything is one narrow
+    projection over one split (mean word length via
+    length(text) - spaces, symbol counts via regexp_count — JVM
+    whole-stage codegen; the single alphabetic-word HOF filter is used
+    once, so the no-CSE-across-lambdas trap does not apply): zero
+    shuffles at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # sum of word lengths == chars excluding the separator spaces
+    wchars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    mean_wlen = F.round(wchars.cast("double") / n, 4)
+    symbols = F.regexp_count(F.col("text"), F.lit("#")) + F.regexp_count(
+        F.col("text"), F.lit(r"\.\.\.")
+    )
+    symbol_ratio = F.round(symbols.cast("double") / n, 4)
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(alpha.cast("double") / n, 4)
+    stops = F.regexp_count(
+        F.col("text"), F.lit(_token_count_rx_public(_STOPWORDS))
+    )
+    base = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stops.alias("n_stop_words"),
+    )
+    r_count = (F.col("n_words") >= _GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= _GOPHER_MAX_WORDS
+    )
+    r_wlen = (F.col("mean_word_len") >= _GOPHER_WLEN_LO) & (
+        F.col("mean_word_len") <= _GOPHER_WLEN_HI
+    )
+    r_sym = F.col("symbol_ratio") <= _GOPHER_SYMBOL_MAX
+    r_alpha = F.col("alpha_ratio") >= _GOPHER_ALPHA_MIN
+    r_stops = F.col("n_stop_words") >= _GOPHER_MIN_STOPS
+    return base.select(
+        "*",
+        r_count.alias("rule_word_count"),
+        r_wlen.alias("rule_word_len"),
+        r_sym.alias("rule_symbols"),
+        r_alpha.alias("rule_alpha"),
+        r_stops.alias("rule_stops"),
+        (r_count & r_wlen & r_sym & r_alpha & r_stops).alias("keep"),
+    )
+
+
+def _token_count_rx_public(vals):
+    from bucketizers_spark.functions.quality import _token_count_rx
+
+    return _token_count_rx(vals)
+
+
+SQL_GOPHER_RULES = f"""
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words), 4) AS mean_word_len,
+         round(CAST(length(text) - length(replace(text, '#', ''))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+               / len(words), 4) AS symbol_ratio,
+         round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len(words), 4) AS alpha_ratio,
+         len(list_filter(words, x -> list_contains({_STOPWORDS!r}, x))) AS n_stop_words
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_stop_words,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}) AS rule_word_count,
+       (mean_word_len >= {_GOPHER_WLEN_LO} AND mean_word_len <= {_GOPHER_WLEN_HI}) AS rule_word_len,
+       (symbol_ratio <= {_GOPHER_SYMBOL_MAX}) AS rule_symbols,
+       (alpha_ratio >= {_GOPHER_ALPHA_MIN}) AS rule_alpha,
+       (n_stop_words >= {_GOPHER_MIN_STOPS}) AS rule_stops,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
+        AND mean_word_len >= {_GOPHER_WLEN_LO} AND mean_word_len <= {_GOPHER_WLEN_HI}
+        AND symbol_ratio <= {_GOPHER_SYMBOL_MAX}
+        AND alpha_ratio >= {_GOPHER_ALPHA_MIN}
+        AND n_stop_words >= {_GOPHER_MIN_STOPS}) AS keep
+FROM feat
+"""
+
+
 def q_token_count(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -3899,6 +4004,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_guess": q_lang_guess,
     "mix_temperature": q_mix_temperature,
+    # -- new in r6 (must sit inside the driver window)
+    "gopher_rules": q_gopher_rules,
     # -- SURVEY §2 core + remaining LLM-pipeline family
     "basic_pager": q_basic_pager,
     "basic_relations": q_basic_relations,
@@ -4011,6 +4118,7 @@ ORACLES = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_fixed": SQL_SAMPLE_FIXED,
     "corpus_filter": SQL_CORPUS_FILTER,
+    "gopher_rules": SQL_GOPHER_RULES,
     "ngram_topk": SQL_NGRAM_TOPK,
     "property_path": SQL_PROPERTY_PATH,
 }

@@ -53,6 +53,7 @@ SUBSET = [
     "ngram_diversity",
     "segment_dedup_cdc",
     "sample_fixed",
+    "gopher_rules",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
