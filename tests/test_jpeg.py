@@ -371,3 +371,32 @@ class TestJpegDecode:
         assert abs(got["c"].mean_luma - float(luma.mean())) < 2e-2
         gl = _reference_decode(mcu_g, lay_g)[..., 0]
         assert got["g"].phash == _ahash(gl)
+
+    def test_resize_jpeg_to_p6(self, spark):
+        """JPEG flows through the shared _decode_pixels seam into
+        resize_image: JPEG in, exact box-average P6 out, pinned against
+        resizing the reference reconstruction directly."""
+        from bucketizers_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            _resize_pixels,
+            resize_image,
+        )
+
+        rng = np.random.default_rng(9)
+        arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        data, mcu, layout = encode_jpeg(arr, subsample=(2, 2))
+        df = spark.createDataFrame(
+            [("j", "image", data, "image/jpeg", 32, 24, None)],
+            MEDIA_SCHEMA,
+        )
+        out = resize_image(df, out_w=8, out_h=6, fake=False).collect()
+        assert len(out) == 1 and out[0].width == 8 and out[0].height == 6
+        payload = bytes(out[0].payload)
+        assert payload.startswith(b"P6\n8 6\n255\n")
+        got = np.frombuffer(payload[payload.index(b"255\n") + 4:],
+                            np.uint8).reshape(6, 8, 3)
+        want_px = _resize_pixels(_reference_decode(mcu, layout), 8, 6)
+        want = np.floor(np.clip(want_px, 0, 1) * 255.0 + 0.5).astype(
+            np.uint8
+        )
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -765,3 +765,101 @@ class TestResizeProperty:
         px = np.full((h, w, 3), v)
         got = _resize_pixels(px, ow, oh)
         np.testing.assert_allclose(got, np.full((oh, ow, 3), v), atol=1e-12)
+
+
+class TestQualityGateProperty:
+    """The r6 quality-gate rewrite's load-bearing equivalence: the
+    regexp_count token-set formulation (whole-stage codegen) must count
+    EXACTLY like size(filter(split(text,' '), isin)) for arbitrary
+    text, and the greatest+first-match-CASE language argmax must equal
+    the sequential strictly-greater fold. Hypothesis drives hostile
+    inputs (marker words glued to punctuation, newlines, tabs, double
+    spaces, boundary tokens, empty strings); the per-example engine is
+    plain Python so thousands of cases run without a Spark job each."""
+
+    @staticmethod
+    def _py_token_count(text: str, vals: list[str]) -> int:
+        return sum(1 for w in text.split(" ") if w in vals)
+
+    @staticmethod
+    def _py_fold_lang(text: str) -> str:
+        from bucketizers_spark.functions.quality import LANG_MARKERS
+
+        words = text.split(" ")
+        score = {
+            lang: sum(1 for w in words if w in m)
+            for lang, m in LANG_MARKERS.items()
+        }
+        best, best_score = "en", score["en"]
+        for lang in ["es", "de", "fr"]:
+            if score[lang] > best_score:
+                best, best_score = lang, score[lang]
+        return best
+
+    @staticmethod
+    def _py_first_max_lang(text: str) -> str:
+        from bucketizers_spark.functions.quality import LANG_MARKERS
+
+        words = text.split(" ")
+        score = {
+            lang: sum(1 for w in words if w in m)
+            for lang, m in LANG_MARKERS.items()
+        }
+        m = max(score.values())
+        for lang in ["en", "es", "de", "fr"]:
+            if score[lang] == m:
+                return lang
+        raise AssertionError("unreachable")
+
+    _texts = st.lists(
+        st.one_of(
+            st.sampled_from(
+                ["the", "a", "and", "of", "to", "in", "is", "el", "la",
+                 "de", "der", "die", "und", "le", "et", "the,", "xthe",
+                 "thex", "a.", "", "the\nand", "und\tder", "él"]
+            ),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\x00"
+                ),
+                max_size=8,
+            ),
+        ),
+        max_size=40,
+    ).map(lambda ws: " ".join(ws))
+
+    @given(text=_texts)
+    @settings(max_examples=2000, deadline=None)
+    def test_argmax_formulations_agree(self, text):
+        assert self._py_fold_lang(text) == self._py_first_max_lang(text)
+
+    @pytest.mark.usefixtures("spark")
+    def test_spark_expressions_match_python_on_corpus(self, spark):
+        """One Spark job over a Hypothesis-style hostile corpus pins the
+        JVM expressions (regexp_count boundaries, greatest+CASE argmax)
+        against the plain-Python token semantics above."""
+        import pandas as pd
+
+        from bucketizers_spark.functions.quality import (
+            STOPWORDS,
+            quality_metrics_col,
+        )
+
+        rows = [
+            "the quick the", "a a a", "aa the,", "xthe the", "",
+            "the\nand of", "ends with the\n", "  double  spaces the  ",
+            "el la de der die und le et", "tab\tthe here", "the\tand",
+            "und\nder die", "multi\n\nline the\n", " the ", "the",
+            "él la de", "el el el the the the", "de de und und",
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"text": rows})
+        ).select("text", quality_metrics_col(F.col("text")).alias("qm"))
+        got = {r.text: r.qm for r in df.collect()}
+        for text in rows:
+            qm = got[text]
+            words = text.split(" ")
+            assert qm.n_words == len(words), text
+            stops = self._py_token_count(text, STOPWORDS)
+            assert qm.stop_ratio == round(stops / len(words), 4), text
+            assert qm.pred_lang == self._py_fold_lang(text), text
