@@ -60,6 +60,7 @@ HEADLINE = [
     "segment_dedup_cdc",
     "sample_fixed",
     "gopher_rules",
+    "semdedup",
 ]
 
 

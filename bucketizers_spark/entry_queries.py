@@ -3538,6 +3538,62 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return ivf_topk(emb, qs, cents, nprobe=_IVF_NPROBE, topk=10)
 
 
+# SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
+# embedding space, then dedup ONLY within each cluster — the clustering
+# bounds the quadratic pairwise step to cell populations, which is the
+# published trick that makes embedding-level dedup tractable at corpus
+# scale (K grows with n, holding cell size roughly constant).
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.35
+
+
+def q_semdedup(spark, sf_dir):
+    """Cluster-scoped embedding dedup: assign every vector to its
+    nearest trained-k-means centroid (the deterministic seeded builder
+    ann_ivf_kmeans already oracles), then inside each cell drop any
+    vector that has a SMALLER-id neighbor with rounded cosine >= tau —
+    the deterministic keep-lowest-id representative rule. Output is one
+    row per vector (vec_id, cell, kept) so downstream stages can either
+    filter on kept or audit the drop set.
+
+    Scale shape: centroids broadcast (K rows, trained on a bounded
+    4096-vector sample); cell assignment is a map-side-combined argmax;
+    the pairwise step is a self-equijoin ON CELL — embeddings shuffle
+    once by cell and the quadratic term is bounded by cell population
+    (SemDeDup's own cost model; at 100 TB you raise K so cells stay
+    ~constant). Nothing is all-pairs across cells, nothing collects to
+    the driver beyond the k-means sample."""
+    from bucketizers_spark.operators.ivf import (
+        _cosine,
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, _SEMDEDUP_K)
+    cells = assign_cells(emb, cents).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    sim = F.round(
+        _cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(sim >= _SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return cells.join(dropped, "vec_id", "left").select(
+        "vec_id", "cell", F.col("_d").isNull().alias("kept")
+    )
+
+
 _SQL_COS = """
 round(
   list_sum(list_transform(range(1, len({a}) + 1),
@@ -3726,6 +3782,31 @@ def _sql_kmeans_ctes(k: int, iters: int, sample_n: int) -> str:
 SQL_ANN_IVF_KMEANS = f"""
 WITH {_sql_kmeans_ctes(_IVF_K, 10, 4096)},
 {_SQL_IVF_SEARCH}
+"""
+
+
+SQL_SEMDEDUP = f"""
+WITH {_sql_kmeans_ctes(_SEMDEDUP_K, 10, 4096)},
+scored AS (
+  SELECT e.vec_id, e.embedding, c.c_id,
+         {_SQL_COS.format(a='e.embedding', b='c.ce')} AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS MATERIALIZED (
+  SELECT vec_id, embedding, c_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, c_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= {_SEMDEDUP_TAU}
+)
+SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
 """
 
 
@@ -4006,6 +4087,7 @@ QUERIES = {
     "mix_temperature": q_mix_temperature,
     # -- new in r6 (must sit inside the driver window)
     "gopher_rules": q_gopher_rules,
+    "semdedup": q_semdedup,
     # -- SURVEY §2 core + remaining LLM-pipeline family
     "basic_pager": q_basic_pager,
     "basic_relations": q_basic_relations,
@@ -4025,7 +4107,6 @@ QUERIES = {
     "substring_trie": q_substring_trie,
     "substring_trie_relations": q_substring_trie_relations,
     "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
     "ann_int8": q_ann_int8,
     "ann_pq": q_ann_pq,
@@ -4044,6 +4125,7 @@ QUERIES = {
     # -- tail (positions 51+): multi-round driver-green, untouched this
     #    round, value-level pinned by pytest as well
     "dedup_exact": q_dedup_exact,
+    "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_recall": q_ann_lsh_recall,
@@ -4119,6 +4201,7 @@ ORACLES = {
     "sample_fixed": SQL_SAMPLE_FIXED,
     "corpus_filter": SQL_CORPUS_FILTER,
     "gopher_rules": SQL_GOPHER_RULES,
+    "semdedup": SQL_SEMDEDUP,
     "ngram_topk": SQL_NGRAM_TOPK,
     "property_path": SQL_PROPERTY_PATH,
 }

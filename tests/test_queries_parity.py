@@ -54,6 +54,7 @@ SUBSET = [
     "segment_dedup_cdc",
     "sample_fixed",
     "gopher_rules",
+    "semdedup",
     "decontaminate",
     "segment_dedup",
     "mix_sample",
