@@ -339,3 +339,142 @@ def segment_count_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CELL_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.StringType())),
+        T.StructField(
+            "embs", T.ArrayType(T.ArrayType(T.DoubleType()))
+        ),
+    ]
+)
+
+SEMDEDUP_CANDIDATES_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.LongType()),
+        T.StructField("a_id", T.StringType()),
+        T.StructField("b_id", T.StringType()),
+        T.StructField("cos_r4", T.DoubleType()),
+        T.StructField("b_seq", T.LongType()),
+    ]
+)
+
+
+def _make_cell_pairs_fn(tau: float, max_reps: int | None):
+    """Per-CELL semantic candidate kernel: state = up to ``max_reps``
+    representative (id, unit-normalized embedding) pairs, first-arrived
+    (same bounded-state design as _make_bucket_pairs_fn — a dense
+    duplicate cell caps at max_reps embeddings instead of holding the
+    whole cell); each arriving vector emits one candidate pair per
+    representative with rounded cosine >= tau, then joins the
+    representative set if there is room. Cosines are numpy matmuls over
+    the batch, rounded to 4 places exactly like the batch operator so
+    threshold sets agree."""
+    import numpy as np
+
+    def fn(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            ids = list(state.get[0])
+            embs = [np.asarray(e, dtype=np.float64) for e in state.get[1]]
+        else:
+            ids, embs = [], []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        rows = []
+        if len(pdf):
+            pdf = pdf.sort_values(["seq", "vec_id"]).reset_index(
+                drop=True
+            )
+            cell = int(pdf["cell"].iloc[0])
+            for vid, seq, emb in zip(
+                pdf["vec_id"], pdf["seq"], pdf["embedding"]
+            ):
+                v = np.asarray(emb, dtype=np.float64)
+                nv = v / max(np.sqrt((v * v).sum()), 1e-12)
+                vid = str(vid)
+                for rid, re_ in zip(ids, embs):
+                    c = round(float(nv @ re_), 4)
+                    if c >= tau:
+                        rows.append((cell, rid, vid, c, int(seq)))
+                if max_reps is None or len(ids) < max_reps:
+                    ids.append(vid)
+                    embs.append(nv)
+        state.update((ids, [e.tolist() for e in embs]))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["cell", "a_id", "b_id", "cos_r4", "b_seq"],
+            )
+
+    return fn
+
+
+def semdedup_candidates_stream(
+    stream_df: DataFrame,
+    centroids: DataFrame,
+    *,
+    tau: float = 0.35,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seq_col: str = "seq",
+    max_reps: int | None = 64,
+) -> DataFrame:
+    """Streaming SemDeDup candidate generation — the incremental form
+    of the batch ``semdedup`` query's within-cell pairwise step.
+    ``centroids`` is the STATIC trained frame (c_id, ce) — the same
+    deterministic k-means the batch query and IvfIndex use, broadcast
+    into the stateless assignment stage; per-cell keyed state then
+    holds at most ``max_reps`` first-arrived representative embeddings
+    and each arrival emits (a_id earlier-rep, b_id arrival) pairs at
+    rounded cosine >= tau.
+
+    Equality contract (pytest-pinned): with max_reps >= cell
+    population, the UNORDERED emitted pair set equals the batch
+    query's within-cell drop-edge set for ANY arrival order (every
+    arrival probes all priors); pair orientation is arrival order
+    (a_id earlier), so batch ``kept`` ("no smaller-id neighbor") is
+    recovered by reading each pair as (min, max). With the cap
+    binding, pairs go against capped reps only (the LSH-cap trade
+    documented in _make_bucket_pairs_fn); state stays
+    O(max_reps * dim) per cell instead of O(cell).
+
+    Streaming plan note: the batch assign_cells is an argmax GROUPBY —
+    a second stateful op a streaming query cannot stack under the
+    keyed-state kernel. K is bounded, so the assignment collapses to a
+    STATELESS expression instead: the K centroids become literal
+    arrays and the cell is array_max over (rounded cosine, -c_id)
+    structs — bit-identical tie behavior (max sim, then smallest
+    c_id) to assign_cells, zero extra state."""
+    from bucketizers_spark.operators.ivf import _cosine
+
+    cent_rows = sorted(
+        ((int(r["c_id"]), list(r["ce"])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _cosine(F.col(emb_col), F.lit(ce)), 4
+                ).alias("s"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, ce in cent_rows
+        ]
+    )
+    cell = (-F.array_max(sims)["nc"]).cast("long")
+    keyed = stream_df.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(seq_col).alias("seq"),
+        cell.alias("cell"),
+        F.col(emb_col).cast("array<double>").alias("embedding"),
+    )
+    return keyed.groupBy("cell").applyInPandasWithState(
+        _make_cell_pairs_fn(tau, max_reps),
+        outputStructType=SEMDEDUP_CANDIDATES_SCHEMA,
+        stateStructType=_CELL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -428,3 +428,150 @@ class TestBucketStateCap:
         assert _components(
             (r.a_id, r.b_id) for r in capped
         ) == _components((r.a_id, r.b_id) for r in uncapped)
+
+
+class TestSemdedupStream:
+    _EMB_SCHEMA = "seq long, vec_id string, embedding array<double>"
+
+    @staticmethod
+    def _emb_pdf() -> pd.DataFrame:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT vec_id, embedding FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 200"
+        ).fetchall()
+        out = []
+        seq = 0
+        for vid, emb in rows:
+            out.append((seq, f"v{int(vid):05d}", [float(x) for x in emb]))
+            seq += 1
+        # plant exact twins (same cell, cos 1.0) arriving later
+        for vid, emb in rows[::20]:
+            out.append((seq, f"t{int(vid):05d}", [float(x) for x in emb]))
+            seq += 1
+        return pd.DataFrame(out, columns=["seq", "vec_id", "embedding"])
+
+    def test_matches_batch_drop_edges(self, spark, workdir):
+        """Streaming per-cell candidates (incl. a kill/resume) equal the
+        batch semdedup within-cell pair set at the same tau, and the
+        batch kept rule is exactly 'never a b_id'."""
+        import numpy as np
+
+        from bucketizers_spark.operators.ivf import (
+            _cosine,
+            assign_cells,
+            kmeans_centroids,
+        )
+        from bucketizers_spark.streaming.dedup_stream import (
+            semdedup_candidates_stream,
+        )
+
+        pdf = self._emb_pdf()
+        bdf = spark.createDataFrame(pdf, self._EMB_SCHEMA)
+        cents = kmeans_centroids(bdf, 8)
+        tau = 0.35
+
+        chunk_dir = os.path.join(workdir, "chunks")
+        out_dir = os.path.join(workdir, "out")
+        ckpt = os.path.join(workdir, "ckpt")
+
+        def run():
+            stream = (
+                spark.readStream.schema(self._EMB_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(chunk_dir)
+            )
+            cands = semdedup_candidates_stream(
+                stream, cents, tau=tau, max_reps=None
+            )
+            q = (
+                cands.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        first, rest = pdf.iloc[:120], pdf.iloc[120:]
+        stage_chunks(first, chunk_dir, n_chunks=2)
+        run()
+        stage_chunks(rest, chunk_dir, n_chunks=2, start_index=2)
+        run()
+        got_rows = spark.read.parquet(out_dir).collect()
+        got = {(r.cell, *sorted((r.a_id, r.b_id))) for r in got_rows}
+
+        # batch drop-edge set: within-cell pairs a<b at rounded cos>=tau
+        cells = assign_cells(bdf, cents).join(
+            bdf.select("vec_id", "embedding"), "vec_id"
+        )
+        a, b = cells.alias("a"), cells.alias("b")
+        sim = F.round(
+            _cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+        )
+        want_rows = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .where(sim >= tau)
+            .select(
+                F.col("a.cell").alias("cell"),
+                F.col("a.vec_id").alias("x"),
+                F.col("b.vec_id").alias("y"),
+            )
+            .collect()
+        )
+        want = {(r.cell, *sorted((r.x, r.y))) for r in want_rows}
+        assert got == want
+        # twins guarantee the sets are non-trivial and span the restart
+        assert len(got) >= 10
+        assert any(r.b_id.startswith("t") for r in got_rows)
+        # orientation: a_id arrived strictly before b_id
+        seq_of = dict(zip(pdf["vec_id"], pdf["seq"]))
+        assert all(seq_of[r.a_id] < seq_of[r.b_id] for r in got_rows)
+
+    def test_rep_cap_bounds_state(self, spark, workdir):
+        """A 500-copy identical-vector flood: emitted a_ids per cell
+        stay within max_reps and volume is O(n*k), not O(n^2)."""
+        from bucketizers_spark.operators.ivf import kmeans_centroids
+        from bucketizers_spark.streaming.dedup_stream import (
+            semdedup_candidates_stream,
+        )
+
+        base = [float(i % 7 - 3) for i in range(16)]
+        rows = [(i, f"d{i:05d}", base) for i in range(500)]
+        pdf = pd.DataFrame(rows, columns=["seq", "vec_id", "embedding"])
+        bdf = spark.createDataFrame(pdf, self._EMB_SCHEMA)
+        cents = kmeans_centroids(bdf, 4)
+        chunk_dir = os.path.join(workdir, "chunks")
+        stage_chunks(pdf, chunk_dir, n_chunks=2)
+        stream = (
+            spark.readStream.schema(self._EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunk_dir)
+        )
+        k = 3
+        cands = semdedup_candidates_stream(
+            stream, cents, tau=0.9, max_reps=k
+        )
+        q = (
+            cands.writeStream.format("parquet")
+            .option("path", os.path.join(workdir, "out"))
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.read.parquet(os.path.join(workdir, "out")).collect()
+        a_ids = {r.a_id for r in got}
+        assert a_ids == {f"d{i:05d}" for i in range(k)}
+        assert len(got) <= 500 * k
+        assert len(got) >= (500 - k) * k  # every later arrival probed
