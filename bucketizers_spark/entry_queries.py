@@ -3558,39 +3558,134 @@ def q_semdedup(spark, sf_dir):
 
     Scale shape: centroids broadcast (K rows, trained on a bounded
     4096-vector sample); cell assignment is a map-side-combined argmax;
-    the pairwise step is a self-equijoin ON CELL — embeddings shuffle
-    once by cell and the quadratic term is bounded by cell population
-    (SemDeDup's own cost model; at 100 TB you raise K so cells stay
-    ~constant). Nothing is all-pairs across cells, nothing collects to
-    the driver beyond the k-means sample."""
-    from bucketizers_spark.operators.ivf import (
-        _cosine,
-        assign_cells,
-        kmeans_centroids,
+    the pairwise step is ONE applyInPandas kernel per cell —
+    embeddings shuffle once by cell and the quadratic term is bounded
+    by cell population (SemDeDup's own cost model; at 100 TB you raise
+    K so cells stay ~constant). Nothing is all-pairs across cells,
+    nothing collects to the driver beyond the k-means sample.
+
+    The pairwise cosines are a vectorized Arrow kernel (the
+    sign_lsh_buckets pattern) rather than per-pair JVM HOF folds —
+    higher-order functions are CodegenFallback, measured 7.1s vs 0.4s
+    on the sf0.1 cell populations — with the summation done
+    dimension-at-a-time so every dot/norm accumulates LEFT TO RIGHT in
+    IEEE double exactly like the _cosine fold and the DuckDB
+    list_sum oracle (bit-identical rounded values, not just close),
+    and HALF_UP rounding replicated (numpy round is half-even)."""
+    from bucketizers_spark.operators.ivf import kmeans_centroids
+
+    # no _t spread here: both kernels are vectorized numpy, so per-core
+    # expression work is not the cost — every avoided exchange removes
+    # an AQE stage whose fixed scheduling latency dominates this query
+    # at test SF. At scale the scan's own splits parallelize the
+    # assignment kernel.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent_rows = sorted(
+        (
+            (int(r["c_id"]), list(r["ce"]))
+            for r in kmeans_centroids(emb, _SEMDEDUP_K).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    # stateless literal-argmax assignment: one narrow projection, no
+    # crossJoin/groupBy — the only shuffle in the whole query is the
+    # per-cell kernel's groupBy("cell")
+    import numpy as np
+
+    C = np.array([ce for _cid, ce in cent_rows], dtype=np.float64)
+
+    def _lr_sq(M: "np.ndarray") -> "np.ndarray":
+        out = np.zeros(M.shape[0])
+        for d in range(M.shape[1]):  # left-to-right fold order
+            out += M[:, d] * M[:, d]
+        return out
+
+    def _half_up4(x: "np.ndarray") -> "np.ndarray":
+        return (
+            np.where(
+                x >= 0,
+                np.floor(x * 1e4 + 0.5),
+                np.ceil(x * 1e4 - 0.5),
+            )
+            / 1e4
+        )
+
+    def assign_kernel(batches):
+        # vectorized nearest-centroid assignment, bit-identical to
+        # assign_cells / stateless_cell_expr: dims accumulate left to
+        # right like the _cosine fold, HALF_UP 4-place rounding, ties
+        # to the smallest c_id (np.argmax takes the first max)
+        cn = np.sqrt(_lr_sq(C))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [
+                    np.asarray(e, dtype=np.float64)
+                    for e in pdf["embedding"]
+                ]
+            )
+            dots = np.zeros((M.shape[0], C.shape[0]))
+            for d in range(M.shape[1]):
+                dots += M[:, d : d + 1] * C[np.newaxis, :, d]
+            sims = _half_up4(
+                dots / (np.sqrt(_lr_sq(M))[:, np.newaxis] * cn)
+            )
+            pdf = pdf[["vec_id", "embedding"]].copy()
+            cids = np.array([cid for cid, _ in cent_rows], dtype="int64")
+            pdf["cell"] = cids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(
+        assign_kernel, "vec_id long, embedding array<float>, cell long"
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, _SEMDEDUP_K)
-    cells = assign_cells(emb, cents).join(
-        emb.select("vec_id", "embedding"), "vec_id"
-    )
-    a, b = cells.alias("a"), cells.alias("b")
-    sim = F.round(
-        _cosine(F.col("a.embedding"), F.col("b.embedding")), 4
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    def cell_flags(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        kept = np.ones(n, dtype=bool)
+        if n >= 2:
+            M = np.stack(
+                [
+                    np.asarray(e, dtype=np.float64)
+                    for e in pdf["embedding"]
+                ]
+            )
+            dim = M.shape[1]
+            nsq = np.zeros(n)
+            for d in range(dim):  # left-to-right, matching fold order
+                nsq += M[:, d] * M[:, d]
+            nrm = np.sqrt(nsq)
+            ii, jj = np.triu_indices(n, 1)
+            dot = np.zeros(len(ii))
+            A, B = M[ii], M[jj]
+            for d in range(dim):
+                dot += A[:, d] * B[:, d]
+            cos = dot / (nrm[ii] * nrm[jj])
+            r4 = (
+                np.where(
+                    cos >= 0,
+                    np.floor(cos * 1e4 + 0.5),
+                    np.ceil(cos * 1e4 - 0.5),
+                )
+                / 1e4
+            )
+            kept[np.unique(jj[r4 >= _SEMDEDUP_TAU])] = False
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "kept": kept,
+            }
         )
-        .where(sim >= _SEMDEDUP_TAU)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("_d", F.lit(True))
-    )
-    return cells.join(dropped, "vec_id", "left").select(
-        "vec_id", "cell", F.col("_d").isNull().alias("kept")
+
+    # the kernel emits EVERY member with its flag — one shuffle total
+    # (the groupBy), no join-back, and `cells` is referenced once so
+    # the assignment expression evaluates once per row
+    return cells.groupBy("cell").applyInPandas(
+        cell_flags, "vec_id long, cell long, kept boolean"
     )
 
 

@@ -139,6 +139,31 @@ def assign_cells(
     )
 
 
+def stateless_cell_expr(cent_rows, emb_col: str = "embedding"):
+    """Nearest-centroid cell as ONE column expression over literal
+    centroid arrays — no crossJoin, no groupBy, no state. ``cent_rows``
+    is the collected (c_id, ce) list (K is bounded by design, so
+    literalizing it is free). Bit-identical tie behavior to
+    assign_cells: array_max over (rounded cosine, -c_id) structs =
+    max similarity, then smallest c_id. This is both the streaming
+    form (an argmax groupBy would be an illegal second stateful op
+    under a keyed-state kernel) and the cheap batch form when the
+    assignment feeds a narrow pipeline (semdedup: no shuffle until
+    the per-cell kernel)."""
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _cosine(F.col(emb_col), F.lit(list(ce))), 4
+                ).alias("s"),
+                F.lit(-int(cid)).alias("nc"),
+            )
+            for cid, ce in cent_rows
+        ]
+    )
+    return (-F.array_max(sims)["nc"]).cast("long")
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -442,29 +442,17 @@ def semdedup_candidates_stream(
 
     Streaming plan note: the batch assign_cells is an argmax GROUPBY —
     a second stateful op a streaming query cannot stack under the
-    keyed-state kernel. K is bounded, so the assignment collapses to a
-    STATELESS expression instead: the K centroids become literal
-    arrays and the cell is array_max over (rounded cosine, -c_id)
-    structs — bit-identical tie behavior (max sim, then smallest
-    c_id) to assign_cells, zero extra state."""
-    from bucketizers_spark.operators.ivf import _cosine
+    keyed-state kernel. K is bounded, so the assignment collapses to
+    the STATELESS literal-argmax expression shared with the batch
+    query (operators/ivf.stateless_cell_expr) — bit-identical tie
+    behavior to assign_cells, zero extra state."""
+    from bucketizers_spark.operators.ivf import stateless_cell_expr
 
     cent_rows = sorted(
         ((int(r["c_id"]), list(r["ce"])) for r in centroids.collect()),
         key=lambda t: t[0],
     )
-    sims = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _cosine(F.col(emb_col), F.lit(ce)), 4
-                ).alias("s"),
-                F.lit(-cid).alias("nc"),
-            )
-            for cid, ce in cent_rows
-        ]
-    )
-    cell = (-F.array_max(sims)["nc"]).cast("long")
+    cell = stateless_cell_expr(cent_rows, emb_col=emb_col)
     keyed = stream_df.select(
         F.col(id_col).cast("string").alias("vec_id"),
         F.col(seq_col).alias("seq"),
