@@ -1794,78 +1794,35 @@ SELECT doc_id, lang, {_sql_lang_pred_expr()} AS pred_lang FROM w
 SQL_LANG_GUESS = _sql_lang_guess()
 
 
-# Gopher-style word-level quality rules (Rae et al. 2021, §A1.1 — the
-# canonical pretraining quality-filter family; the line-level rules are
-# omitted because the fixture corpus is single-line by construction).
-# Thresholds follow the paper where the fixture makes them meaningful.
-_GOPHER_MIN_WORDS = 50
-_GOPHER_MAX_WORDS = 100_000
-_GOPHER_WLEN_LO = 3.0
-_GOPHER_WLEN_HI = 10.0
-_GOPHER_SYMBOL_MAX = 0.10
-_GOPHER_ALPHA_MIN = 0.80
-_GOPHER_MIN_STOPS = 2
+# Gopher rule expressions + thresholds live in functions/quality.py
+# (one definition for the driver query, the pipeline stage, and any
+# streaming gate); the aliases keep the oracle f-string below working.
+from bucketizers_spark.functions.quality import (  # noqa: E402
+    GOPHER_ALPHA_MIN as _GOPHER_ALPHA_MIN,
+    GOPHER_MAX_WORDS as _GOPHER_MAX_WORDS,
+    GOPHER_MIN_STOPS as _GOPHER_MIN_STOPS,
+    GOPHER_MIN_WORDS as _GOPHER_MIN_WORDS,
+    GOPHER_SYMBOL_MAX as _GOPHER_SYMBOL_MAX,
+    GOPHER_WLEN_HI as _GOPHER_WLEN_HI,
+    GOPHER_WLEN_LO as _GOPHER_WLEN_LO,
+    gopher_metrics_col,
+)
 
 
 def q_gopher_rules(spark, sf_dir):
-    """Gopher quality rules per document: word-count bounds, mean word
-    length in [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1,
-    >= 80% of words containing an alphabetic character, and >= 2
-    stop-words — each rule surfaced as its own column plus the overall
-    pass flag, because a curation pipeline tunes and ablates rules
-    individually before composing them. Everything is one narrow
-    projection over one split (mean word length via
-    length(text) - spaces, symbol counts via regexp_count — JVM
-    whole-stage codegen; the single alphabetic-word HOF filter is used
-    once, so the no-CSE-across-lambdas trap does not apply): zero
-    shuffles at any scale."""
+    """Gopher quality rules per document (Rae et al. 2021 §A1.1):
+    word-count bounds, mean word length in [3, 10], symbol-to-word
+    ratio (# and ellipsis) <= 0.1, >= 80% of words containing an
+    alphabetic character, and >= 2 stop-words — each rule surfaced as
+    its own column plus the overall keep flag, because a curation
+    pipeline tunes and ablates rules individually before composing
+    them. One narrow projection of the shared gopher_metrics_col
+    struct (functions/quality.py — also the llm_pipeline.gopher_filter
+    stage, so semantics cannot drift); zero shuffles at any scale."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    # sum of word lengths == chars excluding the separator spaces
-    wchars = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    mean_wlen = F.round(wchars.cast("double") / n, 4)
-    symbols = F.regexp_count(F.col("text"), F.lit("#")) + F.regexp_count(
-        F.col("text"), F.lit(r"\.\.\.")
-    )
-    symbol_ratio = F.round(symbols.cast("double") / n, 4)
-    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    alpha_ratio = F.round(alpha.cast("double") / n, 4)
-    stops = F.regexp_count(
-        F.col("text"), F.lit(_token_count_rx_public(_STOPWORDS))
-    )
-    base = docs.select(
-        "doc_id",
-        n.alias("n_words"),
-        mean_wlen.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        stops.alias("n_stop_words"),
-    )
-    r_count = (F.col("n_words") >= _GOPHER_MIN_WORDS) & (
-        F.col("n_words") <= _GOPHER_MAX_WORDS
-    )
-    r_wlen = (F.col("mean_word_len") >= _GOPHER_WLEN_LO) & (
-        F.col("mean_word_len") <= _GOPHER_WLEN_HI
-    )
-    r_sym = F.col("symbol_ratio") <= _GOPHER_SYMBOL_MAX
-    r_alpha = F.col("alpha_ratio") >= _GOPHER_ALPHA_MIN
-    r_stops = F.col("n_stop_words") >= _GOPHER_MIN_STOPS
-    return base.select(
-        "*",
-        r_count.alias("rule_word_count"),
-        r_wlen.alias("rule_word_len"),
-        r_sym.alias("rule_symbols"),
-        r_alpha.alias("rule_alpha"),
-        r_stops.alias("rule_stops"),
-        (r_count & r_wlen & r_sym & r_alpha & r_stops).alias("keep"),
-    )
-
-
-def _token_count_rx_public(vals):
-    from bucketizers_spark.functions.quality import _token_count_rx
-
-    return _token_count_rx(vals)
+    return docs.select(
+        "doc_id", gopher_metrics_col(F.col("text")).alias("_gm")
+    ).select("doc_id", "_gm.*")
 
 
 SQL_GOPHER_RULES = f"""
@@ -3548,145 +3505,26 @@ _SEMDEDUP_TAU = 0.35
 
 
 def q_semdedup(spark, sf_dir):
-    """Cluster-scoped embedding dedup: assign every vector to its
-    nearest trained-k-means centroid (the deterministic seeded builder
-    ann_ivf_kmeans already oracles), then inside each cell drop any
-    vector that has a SMALLER-id neighbor with rounded cosine >= tau —
-    the deterministic keep-lowest-id representative rule. Output is one
-    row per vector (vec_id, cell, kept) so downstream stages can either
-    filter on kept or audit the drop set.
+    """Cluster-scoped embedding dedup — SemDeDup (Abbas et al. 2023):
+    assign every vector to its nearest deterministic trained-k-means
+    centroid (the ann_ivf_kmeans builder, so the DuckDB oracle replays
+    training with the same unrolled-Lloyd CTEs), then inside each cell
+    drop any vector with a SMALLER-id neighbor at rounded cosine >=
+    tau. Output is one row per vector (vec_id, cell, kept) so
+    downstream stages can filter on kept or audit the drop set.
 
-    Scale shape: centroids broadcast (K rows, trained on a bounded
-    4096-vector sample); cell assignment is a map-side-combined argmax;
-    the pairwise step is ONE applyInPandas kernel per cell —
-    embeddings shuffle once by cell and the quadratic term is bounded
-    by cell population (SemDeDup's own cost model; at 100 TB you raise
-    K so cells stay ~constant). Nothing is all-pairs across cells,
-    nothing collects to the driver beyond the k-means sample.
+    The whole operator lives in operators/semdedup.semdedup_flags (one
+    definition shared with llm_pipeline.semantic_dedup; scale shape
+    and the bit-exact vectorized-kernel design are documented there).
+    No _t spread here: both kernels are vectorized numpy, so per-core
+    expression work is not the cost — every avoided exchange removes
+    an AQE stage whose fixed scheduling latency dominates this query
+    at test SF; at scale the scan's own splits parallelize the
+    assignment kernel."""
+    from bucketizers_spark.operators.semdedup import semdedup_flags
 
-    The pairwise cosines are a vectorized Arrow kernel (the
-    sign_lsh_buckets pattern) rather than per-pair JVM HOF folds —
-    higher-order functions are CodegenFallback, measured 7.1s vs 0.4s
-    on the sf0.1 cell populations — with the summation done
-    dimension-at-a-time so every dot/norm accumulates LEFT TO RIGHT in
-    IEEE double exactly like the _cosine fold and the DuckDB
-    list_sum oracle (bit-identical rounded values, not just close),
-    and HALF_UP rounding replicated (numpy round is half-even)."""
-    from bucketizers_spark.operators.ivf import kmeans_centroids
-
-    # no _t spread here: both kernels are vectorized numpy, so per-core
-    # expression work is not the cost — every avoided exchange removes
-    # an AQE stage whose fixed scheduling latency dominates this query
-    # at test SF. At scale the scan's own splits parallelize the
-    # assignment kernel.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cent_rows = sorted(
-        (
-            (int(r["c_id"]), list(r["ce"]))
-            for r in kmeans_centroids(emb, _SEMDEDUP_K).collect()
-        ),
-        key=lambda t: t[0],
-    )
-    # stateless literal-argmax assignment: one narrow projection, no
-    # crossJoin/groupBy — the only shuffle in the whole query is the
-    # per-cell kernel's groupBy("cell")
-    import numpy as np
-
-    C = np.array([ce for _cid, ce in cent_rows], dtype=np.float64)
-
-    def _lr_sq(M: "np.ndarray") -> "np.ndarray":
-        out = np.zeros(M.shape[0])
-        for d in range(M.shape[1]):  # left-to-right fold order
-            out += M[:, d] * M[:, d]
-        return out
-
-    def _half_up4(x: "np.ndarray") -> "np.ndarray":
-        return (
-            np.where(
-                x >= 0,
-                np.floor(x * 1e4 + 0.5),
-                np.ceil(x * 1e4 - 0.5),
-            )
-            / 1e4
-        )
-
-    def assign_kernel(batches):
-        # vectorized nearest-centroid assignment, bit-identical to
-        # assign_cells / stateless_cell_expr: dims accumulate left to
-        # right like the _cosine fold, HALF_UP 4-place rounding, ties
-        # to the smallest c_id (np.argmax takes the first max)
-        cn = np.sqrt(_lr_sq(C))
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(
-                [
-                    np.asarray(e, dtype=np.float64)
-                    for e in pdf["embedding"]
-                ]
-            )
-            dots = np.zeros((M.shape[0], C.shape[0]))
-            for d in range(M.shape[1]):
-                dots += M[:, d : d + 1] * C[np.newaxis, :, d]
-            sims = _half_up4(
-                dots / (np.sqrt(_lr_sq(M))[:, np.newaxis] * cn)
-            )
-            pdf = pdf[["vec_id", "embedding"]].copy()
-            cids = np.array([cid for cid, _ in cent_rows], dtype="int64")
-            pdf["cell"] = cids[np.argmax(sims, axis=1)]
-            yield pdf
-
-    cells = emb.select("vec_id", "embedding").mapInPandas(
-        assign_kernel, "vec_id long, embedding array<float>, cell long"
-    )
-
-    def cell_flags(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        n = len(pdf)
-        kept = np.ones(n, dtype=bool)
-        if n >= 2:
-            M = np.stack(
-                [
-                    np.asarray(e, dtype=np.float64)
-                    for e in pdf["embedding"]
-                ]
-            )
-            dim = M.shape[1]
-            nsq = np.zeros(n)
-            for d in range(dim):  # left-to-right, matching fold order
-                nsq += M[:, d] * M[:, d]
-            nrm = np.sqrt(nsq)
-            ii, jj = np.triu_indices(n, 1)
-            dot = np.zeros(len(ii))
-            A, B = M[ii], M[jj]
-            for d in range(dim):
-                dot += A[:, d] * B[:, d]
-            cos = dot / (nrm[ii] * nrm[jj])
-            r4 = (
-                np.where(
-                    cos >= 0,
-                    np.floor(cos * 1e4 + 0.5),
-                    np.ceil(cos * 1e4 - 0.5),
-                )
-                / 1e4
-            )
-            kept[np.unique(jj[r4 >= _SEMDEDUP_TAU])] = False
-        return pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "cell": pdf["cell"].to_numpy(),
-                "kept": kept,
-            }
-        )
-
-    # the kernel emits EVERY member with its flag — one shuffle total
-    # (the groupBy), no join-back, and `cells` is referenced once so
-    # the assignment expression evaluates once per row
-    return cells.groupBy("cell").applyInPandas(
-        cell_flags, "vec_id long, cell long, kept boolean"
-    )
+    return semdedup_flags(emb, k=_SEMDEDUP_K, tau=_SEMDEDUP_TAU)
 
 
 _SQL_COS = """

@@ -143,6 +143,61 @@ def gate_predicate(
     ]
 
 
+# -- Gopher-style word-level quality rules (Rae et al. 2021, §A1.1) ----
+# One definition serves the driver query (q_gopher_rules), the batch
+# pipeline stage (llm_pipeline.gopher_filter), and any streaming gate —
+# the same no-drift rule as the gate above. Thresholds follow the paper
+# where the fixture makes them meaningful; line-level rules are omitted
+# (the fixture corpus is single-line by construction).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WLEN_LO = 3.0
+GOPHER_WLEN_HI = 10.0
+GOPHER_SYMBOL_MAX = 0.10
+GOPHER_ALPHA_MIN = 0.80
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_metrics_col(text_col: Column) -> Column:
+    """Every Gopher rule metric and verdict as ONE struct column:
+    ``n_words``, ``mean_word_len`` (chars excluding separator spaces /
+    words), ``symbol_ratio`` ('#' + ellipsis per word), ``alpha_ratio``
+    (words containing an alphabetic char), ``n_stop_words``, the five
+    per-rule booleans, and the composed ``keep``. Whole-stage-codegen
+    built-ins except the single alphabetic-word HOF filter (used once,
+    so the no-CSE-across-lambdas trap does not apply); zero shuffles at
+    any scale."""
+    words = F.split(text_col, " ")
+    n = F.size(words)
+    wchars = F.length(F.regexp_replace(text_col, " ", ""))
+    mean_wlen = F.round(wchars.cast("double") / n, 4)
+    symbols = F.regexp_count(text_col, F.lit("#")) + F.regexp_count(
+        text_col, F.lit(r"\.\.\.")
+    )
+    symbol_ratio = F.round(symbols.cast("double") / n, 4)
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(alpha.cast("double") / n, 4)
+    stops = F.regexp_count(text_col, F.lit(_token_count_rx(STOPWORDS)))
+    r_count = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    r_wlen = (mean_wlen >= GOPHER_WLEN_LO) & (mean_wlen <= GOPHER_WLEN_HI)
+    r_sym = symbol_ratio <= GOPHER_SYMBOL_MAX
+    r_alpha = alpha_ratio >= GOPHER_ALPHA_MIN
+    r_stops = stops >= GOPHER_MIN_STOPS
+    return F.struct(
+        n.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stops.alias("n_stop_words"),
+        r_count.alias("rule_word_count"),
+        r_wlen.alias("rule_word_len"),
+        r_sym.alias("rule_symbols"),
+        r_alpha.alias("rule_alpha"),
+        r_stops.alias("rule_stops"),
+        (r_count & r_wlen & r_sym & r_alpha & r_stops).alias("keep"),
+    )
+
+
 def md5_prefix_key(id_col: Column) -> Column:
     """The deterministic 2-hex-char sampling key shared by every
     rate-based draw (sample_stratified, mix_sample, mix_temperature,

@@ -60,6 +60,50 @@ def filter_corpus(docs: DataFrame, *, min_words: int = 5) -> DataFrame:
     )
 
 
+def gopher_filter(docs: DataFrame, *, dedup: bool = True) -> DataFrame:
+    """Gopher word-level quality rules (functions/quality.py
+    gopher_metrics_col — the exact q_gopher_rules expressions, one
+    definition) as a pipeline stage over an arbitrary documents frame,
+    followed (by default) by the same gate-then-canon exact dedup
+    order as filter_corpus: rules filter at the scan, the md5-canon
+    window shuffles only survivors. Returns surviving rows unchanged
+    (all columns)."""
+    from bucketizers_spark.functions.quality import gopher_metrics_col
+
+    surv = docs.where(gopher_metrics_col(F.col("text"))["keep"])
+    if not dedup:
+        return surv
+    canon = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    return (
+        surv.withColumn("_canon", canon)
+        .where(F.col("_canon") == F.col("doc_id"))
+        .drop("_canon")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    tau: float = 0.35,
+) -> DataFrame:
+    """SemDeDup stage over any frame carrying an embedding column
+    (operators/semdedup.semdedup_flags — the exact q_semdedup
+    semantics, one definition): keep only cluster-scoped lowest-id
+    representatives at rounded cosine >= tau. Returns surviving rows
+    of ``df`` unchanged (all columns)."""
+    from bucketizers_spark.operators.semdedup import semdedup_flags
+
+    flags = semdedup_flags(
+        df.select(id_col, emb_col), id_col=id_col, emb_col=emb_col,
+        k=k, tau=tau,
+    )
+    keep_ids = flags.where("kept").select(id_col)
+    return df.join(keep_ids, id_col, "left_semi")
+
+
 def mix_corpus(
     docs: DataFrame, *, alpha: float = 0.3, budget: int | None = None
 ) -> DataFrame:
@@ -157,11 +201,27 @@ def prepare_training_data(
     mix_alpha: float = 0.3,
     mix_budget: int | None = None,
     filter_docs: bool = True,
+    quality: str = "gate",
 ) -> DataFrame:
     """The whole pipeline: filter → mix → pack → materialize → shard.
     Returns one row per training chunk: (chunk_id, n_docs, n_tok,
-    content_md5, order_idx, shard_id, pos_in_shard)."""
-    kept = filter_corpus(docs, min_words=min_words) if filter_docs else docs
+    content_md5, order_idx, shard_id, pos_in_shard).
+
+    ``quality`` selects the filter family when ``filter_docs``:
+    "gate" (corpus_filter's length/stop-ratio/language predicate) or
+    "gopher" (the Gopher word-level rule set) — both followed by the
+    md5-canon exact dedup. ``semantic_dedup`` is a standalone stage
+    (it needs an embedding column documents frames usually lack);
+    compose it explicitly before this function when embeddings exist."""
+    if filter_docs:
+        if quality == "gate":
+            kept = filter_corpus(docs, min_words=min_words)
+        elif quality == "gopher":
+            kept = gopher_filter(docs)
+        else:
+            raise ValueError(f"unknown quality filter {quality!r}")
+    else:
+        kept = docs
     mixed = mix_corpus(kept, alpha=mix_alpha, budget=mix_budget)
     return shard_chunks(
         pack_chunks(mixed, chunk_len=chunk_len), n_shards=n_shards

@@ -97,3 +97,68 @@ class TestLlmPipeline:
             ).collect()[0].t
         )
         assert sum(r.n_tok for r in out) == total
+
+
+class TestR6Stages:
+    def test_gopher_filter_equals_green_query(self, spark):
+        from bucketizers_spark.entry_queries import q_gopher_rules
+        from bucketizers_spark.llm_pipeline import gopher_filter
+
+        docs = _docs(spark)
+        got = {r.doc_id for r in gopher_filter(docs, dedup=False).collect()}
+        want = {
+            r.doc_id
+            for r in q_gopher_rules(spark, SF_DIR).collect()
+            if r.keep
+        }
+        assert got == want and 0 < len(got) < docs.count()
+        # with dedup, survivors are additionally their own md5-canon
+        with_dedup = {r.doc_id for r in gopher_filter(docs).collect()}
+        assert with_dedup <= got
+
+    def test_semantic_dedup_equals_green_query(self, spark):
+        from bucketizers_spark.entry_queries import q_semdedup
+        from bucketizers_spark.llm_pipeline import semantic_dedup
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        got = {
+            r.vec_id
+            for r in semantic_dedup(emb, id_col="vec_id").collect()
+        }
+        want = {
+            r.vec_id
+            for r in q_semdedup(spark, SF_DIR).collect()
+            if r.kept
+        }
+        assert got == want and 0 < len(got) < emb.count()
+
+    def test_prepare_with_gopher_quality(self, spark):
+        from bucketizers_spark.llm_pipeline import (
+            gopher_filter,
+            mix_corpus,
+            pack_chunks,
+            prepare_training_data,
+            shard_chunks,
+        )
+
+        docs = _docs(spark)
+        got = sorted(
+            tuple(r)
+            for r in prepare_training_data(
+                docs, chunk_len=256, n_shards=4, quality="gopher"
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in shard_chunks(
+                pack_chunks(
+                    mix_corpus(gopher_filter(docs)), chunk_len=256
+                ),
+                n_shards=4,
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown quality"):
+            prepare_training_data(docs, quality="bogus")
