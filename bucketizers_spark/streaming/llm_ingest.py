@@ -43,14 +43,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def ingest_gate(stream_df: DataFrame, *, min_words: int = 5) -> DataFrame:
+def ingest_gate(
+    stream_df: DataFrame, *, min_words: int = 5, rules: str = "gate"
+) -> DataFrame:
     """The stateless per-document quality gate (q_corpus_filter minus
-    its corpus-global dedup term, which the keyed dedup stage owns)."""
-    from bucketizers_spark.functions.quality import gate_predicate
-
-    return stream_df.where(
-        gate_predicate(F.col("text"), F.col("lang"), min_words=min_words)
+    its corpus-global dedup term, which the keyed dedup stage owns).
+    ``rules`` selects the same families as the batch pipeline
+    (llm_pipeline.prepare_training_data): "gate" (length/stop-ratio/
+    language agreement) or "gopher" (the Gopher word-level rule set) —
+    both read the ONE shared definition in functions/quality.py, so
+    batch and streaming verdicts are identical by construction."""
+    from bucketizers_spark.functions.quality import (
+        gate_predicate,
+        gopher_metrics_col,
     )
+
+    if rules == "gate":
+        pred = gate_predicate(
+            F.col("text"), F.col("lang"), min_words=min_words
+        )
+    elif rules == "gopher":
+        pred = gopher_metrics_col(F.col("text"))["keep"]
+    else:
+        raise ValueError(f"unknown quality rules {rules!r}")
+    return stream_df.where(pred)
 
 
 _STAGED_SCHEMA = "seq long, doc_id string, text string, source string"

@@ -157,3 +157,30 @@ class TestLlmIngest:
         assert post_dups
         packed_ids = {d for _, _, d, _, _, _ in got}
         assert not post_dups & packed_ids
+
+
+class TestIngestGateRules:
+    def test_gopher_rules_match_batch_stage(self, spark):
+        """Streaming gopher gate == batch gopher_filter(dedup=False) on
+        the same frame (ONE shared definition, so equality is by
+        construction — this pins the wiring, not the math)."""
+        import pytest as _pytest
+
+        from bucketizers_spark.llm_pipeline import gopher_filter
+        from bucketizers_spark.streaming.llm_ingest import ingest_gate
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        got = {
+            r.doc_id for r in ingest_gate(docs, rules="gopher").collect()
+        }
+        want = {
+            r.doc_id for r in gopher_filter(docs, dedup=False).collect()
+        }
+        assert got == want and 0 < len(got) < docs.count()
+        # default stays the corpus_filter gate
+        base = {r.doc_id for r in ingest_gate(docs).collect()}
+        assert base != got
+        with _pytest.raises(ValueError, match="unknown quality rules"):
+            ingest_gate(docs, rules="bogus")
