@@ -43,6 +43,7 @@ from bucketizers_spark.operators.multi import (
     paged_within_parent,
     trie_within_parent,
 )
+from bucketizers_spark.operators.ivf import pair_cos_r4
 from bucketizers_spark.operators.substring import token_prefix_trie
 from bucketizers_spark.plans.materialize import cut_lineage
 
@@ -913,8 +914,12 @@ def q_ann_topk(spark, sf_dir):
     joined = F.broadcast(q).crossJoin(
         emb.select("vec_id", "embedding")
     ).where(F.col("vec_id") != F.col("query_id"))
-    sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
-    scored = joined.select("query_id", "vec_id", sim.alias("sim_r4"))
+    # r7: vectorized Arrow pair kernel replaces the interpreted JVM HOF
+    # cosine fold — same arithmetic (left-to-right fold, HALF_UP round)
+    scored = pair_cos_r4(
+        joined, "qe", "embedding", keys=("query_id", "vec_id"),
+        out_col="sim_r4",
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_r4").desc(), F.col("vec_id")
     )
@@ -965,8 +970,11 @@ def q_knn_classify(spark, sf_dir):
         .crossJoin(emb.select("vec_id", "embedding"))
         .where(F.col("vec_id") != F.col("query_id"))
     )
-    sim = F.round(_cosine(F.col("qe"), F.col("embedding")), 4)
-    scored = joined.select("query_id", "vec_id", sim.alias("sim_r4"))
+    # r7: vectorized pair kernel (see q_ann_topk) — identical sims
+    scored = pair_cos_r4(
+        joined, "qe", "embedding", keys=("query_id", "vec_id"),
+        out_col="sim_r4",
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_r4").desc(), F.col("vec_id")
     )
@@ -1075,8 +1083,12 @@ def q_ann_int8(spark, sf_dir):
     joined = F.broadcast(q).crossJoin(eq).where(
         F.col("vec_id") != F.col("query_id")
     )
-    sim = F.round(_cosine(F.col("qq"), F.col("qv")), 4)
-    scored = joined.select("query_id", "vec_id", sim.alias("simq_r4"))
+    # r7: vectorized pair kernel (int arrays cast to double per element
+    # exactly like the JVM fold's x.cast("double")) — identical sims
+    scored = pair_cos_r4(
+        joined, "qq", "qv", keys=("query_id", "vec_id"),
+        out_col="simq_r4",
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("simq_r4").desc(), F.col("vec_id")
     )
@@ -1232,15 +1244,21 @@ def q_ann_ivfpq(spark, sf_dir):
     sets. Every vector lives in exactly one cell, so no multi-probe
     dedup is needed."""
     from bucketizers_spark.operators.ivf import (
-        assign_cells,
+        assign_cells_vec,
+        collect_centroid_rows,
         lowest_id_centroids,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = _pq_codebook(emb)
-    enc = _pq_encoded(emb, cb)
+    CB = _pq_cb_np(emb)
+    enc = _pq_encoded(emb, CB)
     cents = lowest_id_centroids(emb, _IVF_K)
-    cells = assign_cells(emb, cents)
+    # r7: vectorized Arrow cell assignment (no crossJoin exchange, no
+    # interpreted HOF cosine per (vector, centroid)) — bit-identical to
+    # assign_cells; embedding column dropped before the joins below.
+    cells = assign_cells_vec(emb, collect_centroid_rows(cents)).select(
+        "vec_id", "cell"
+    )
 
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -1261,17 +1279,14 @@ def q_ann_ivfpq(spark, sf_dir):
     )
 
     # ADC over probed cells only: codes ⋈ cells on vec_id (both slim),
-    # then the cell equijoin against the broadcast probe frame.
+    # then the cell equijoin against the broadcast probe frame; the ADC
+    # itself is the vectorized kernel (r7 — was interpreted HOF).
     cand = (
         F.broadcast(probes)
         .join(enc.join(cells, "vec_id"), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .crossJoin(F.broadcast(cb))
     )
-    scored = cand.select(
-        "query_id", "vec_id", F.round(_pq_adc_col(), 4).alias("adc_r4"),
-        "qe",
-    )
+    scored = _pq_adc_np(cand, CB)
     w50 = Window.partitionBy("query_id").orderBy("adc_r4", "vec_id")
     short = (
         scored.withColumn("_c", F.row_number().over(w50))
@@ -1313,82 +1328,111 @@ def _pq_codebook(emb):
     )
 
 
-def _pq_encoded(emb, cb):
+def _pq_cb_np(emb):
+    """The flattened codebook as a (M, K, D) numpy array — ONE bounded
+    collect of the single-row JVM-built codebook frame (M·K·D doubles,
+    constant by design), closed over by the vectorized encode/ADC
+    kernels below."""
+    import numpy as np
+
+    row = _pq_codebook(emb).collect()[0]["cbflat"]
+    return np.array(row, dtype=np.float64).reshape(_PQ_M, _PQ_K, _PQ_D)
+
+
+def _pq_encoded(emb, CB):
     """(vec_id, codes): each vector's nearest codebook entry per
-    subspace by L2, ties to the lowest code — a pure nested-HOF JVM
-    narrow map over emb × the broadcast one-row codebook."""
-    m_, k_, d_ = _PQ_M, _PQ_K, _PQ_D
-    ev = emb.crossJoin(F.broadcast(cb))
+    subspace by L2, ties to the lowest code. r7: one vectorized Arrow
+    pass (the r6 nested-HOF JVM form was CodegenFallback — interpreted
+    M·K·D steps per vector). Bit-identical: the per-(vector, entry)
+    L2^2 is accumulated dimension-at-a-time (the left-to-right IEEE
+    fold of the old sub_d2 aggregate) and np.argmin takes the FIRST
+    minimum exactly like array_position(dists, array_min(dists))."""
+    import numpy as np
 
-    def sub_d2(vec, m, j):
-        # L2^2 between vec's subspace m and codebook entry j (left fold)
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(d_)),
-            F.lit(0.0),
-            lambda acc, d: acc
-            + _pq_sq(
-                F.element_at(vec, m * d_ + d),
-                F.element_at(F.col("cbflat"), (m * k_ + j) * d_ + d),
-            ),
-        )
+    id_t = dict(emb.select("vec_id").dtypes)["vec_id"]
 
-    dists_m = lambda vec, m: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(k_ - 1)), lambda j: sub_d2(vec, m, j)
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            n = V.shape[0]
+            codes = np.empty((n, _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                sub = V[:, m * _PQ_D : (m + 1) * _PQ_D]
+                d2 = np.zeros((n, _PQ_K))
+                for d in range(_PQ_D):  # left-to-right fold order
+                    diff = sub[:, d : d + 1] - CB[m, np.newaxis, :, d]
+                    d2 += diff * diff
+                codes[:, m] = np.argmin(d2, axis=1)
+            out = pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy()})
+            out["codes"] = list(codes)
+            yield out
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, f"vec_id {id_t}, codes array<int>"
     )
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m_ - 1)),
-        lambda m: F.array_position(
-            dists_m(F.col("embedding"), m),
-            F.array_min(dists_m(F.col("embedding"), m)),
-        ).cast("int")
-        - 1,
-    )
-    return ev.select("vec_id", codes.alias("codes"))
 
 
-def _pq_adc_col():
-    """ADC score column: sum over subspaces of the exact L2^2 between
-    the query subvector (`qe`) and the candidate's coded centroid
-    (`codes` indexing `cbflat`); all three columns must be in scope."""
-    m_, k_, d_ = _PQ_M, _PQ_K, _PQ_D
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m_ - 1)),
-        F.lit(0.0),
-        lambda acc, m: acc
-        + F.aggregate(
-            F.sequence(F.lit(1), F.lit(d_)),
-            F.lit(0.0),
-            lambda a2, d: a2
-            + _pq_sq(
-                F.element_at(F.col("qe"), m * d_ + d),
-                F.element_at(
-                    F.col("cbflat"),
-                    (m * k_ + F.element_at(F.col("codes"), m + 1)) * d_
-                    + d,
-                ),
-            ),
-        ),
+def _pq_adc_np(cand, CB):
+    """(query_id, vec_id, adc_r4, qe): vectorized ADC over a candidate
+    frame carrying (query_id, vec_id, qe, codes). Bit-identical to
+    round(_pq_adc_col(), 4): per-pair score = left-to-right fold over
+    subspaces of the (already fully accumulated) per-subspace
+    left-to-right L2^2 fold, then HALF_UP 4-place rounding."""
+    import numpy as np
+
+    from bucketizers_spark.operators.ivf import _np_half_up4
+
+    t = dict(cand.select("query_id", "vec_id", "qe").dtypes)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["qe"]]
+            )
+            Cd = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            total = np.zeros(len(pdf))
+            for m in range(_PQ_M):  # outer left-to-right fold
+                recon = CB[m, Cd[:, m], :]
+                inner = np.zeros(len(pdf))
+                for d in range(_PQ_D):  # inner left-to-right fold
+                    diff = Q[:, m * _PQ_D + d] - recon[:, d]
+                    inner += diff * diff
+                total += inner
+            out = pdf[["query_id", "vec_id"]].copy()
+            out["adc_r4"] = _np_half_up4(total)
+            out["qe"] = pdf["qe"]
+            yield out
+
+    return cand.select("query_id", "vec_id", "qe", "codes").mapInPandas(
+        kernel,
+        f"query_id {t['query_id']}, vec_id {t['vec_id']}, "
+        f"adc_r4 double, qe {t['qe']}",
     )
 
 
 def _pq_adc_scored(spark, sf_dir):
-    """Shared PQ machinery: codebook build (JVM-side), per-vector
-    encoding, and the ADC score per (query, vector) pair — returns
+    """Shared PQ machinery: codebook build (JVM-side, one bounded
+    1-row collect), vectorized per-vector encoding, and the vectorized
+    ADC score per (query, vector) pair — returns
     (query_id, vec_id, adc_r4, qe)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cb = _pq_codebook(emb)
-    enc = _pq_encoded(emb, cb)
+    CB = _pq_cb_np(emb)
+    enc = _pq_encoded(emb, CB)
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    joined = (
-        enc.crossJoin(F.broadcast(q.crossJoin(cb)))
-        .where(F.col("vec_id") != F.col("query_id"))
+    joined = enc.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
     )
-    return joined.select(
-        "query_id", "vec_id", F.round(_pq_adc_col(), 4).alias("adc_r4"),
-        "qe",
-    )
+    return _pq_adc_np(joined, CB)
 
 
 def _sql_pq_adc(qe: str, codes: str) -> str:
@@ -1686,10 +1730,13 @@ def q_emb_near_dup(spark, sf_dir):
     ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
     pairs = cand.join(ea, "a_id").join(eb, "b_id")
-    cos = F.round(_cosine(F.col("ea"), F.col("eb")), 4)
-    return pairs.select("a_id", "b_id", cos.alias("cos_r4")).where(
-        F.col("cos_r4") >= 0.3
-    )
+    # r7: the exact rescore runs through the vectorized Arrow pair
+    # kernel instead of the interpreted JVM HOF fold (CodegenFallback;
+    # it was ~all of this query's 23.6s at sf1.0) — same per-pair
+    # arithmetic (left-to-right dim fold, HALF_UP rounding), same rows.
+    return pair_cos_r4(
+        pairs, "ea", "eb", keys=("a_id", "b_id"), out_col="cos_r4"
+    ).where(F.col("cos_r4") >= 0.3)
 
 
 SQL_EMB_NEAR_DUP = f"""

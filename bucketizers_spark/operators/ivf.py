@@ -164,6 +164,130 @@ def stateless_cell_expr(cent_rows, emb_col: str = "embedding"):
     return (-F.array_max(sims)["nc"]).cast("long")
 
 
+def _np_lr_sq(M):
+    import numpy as np
+
+    out = np.zeros(M.shape[0])
+    for d in range(M.shape[1]):  # left-to-right fold order
+        out += M[:, d] * M[:, d]
+    return out
+
+
+def _np_half_up4(x):
+    import numpy as np
+
+    return (
+        np.where(x >= 0, np.floor(x * 1e4 + 0.5), np.ceil(x * 1e4 - 0.5))
+        / 1e4
+    )
+
+
+def _np_cos_r4(A, B):
+    """Rounded cosine matrix (|A| × |B|) with the engine's exact
+    arithmetic: per-pair dot and both norms accumulated
+    DIMENSION-AT-A-TIME so the summation order is the left-to-right
+    IEEE fold of the JVM ``_cosine`` higher-order aggregate (and the
+    oracle's list_sum), then HALF_UP 4-place rounding — bit-identical
+    values, vectorized (the HOF fold is CodegenFallback: interpreted
+    per element, it was the whole cost of ann_ivf at sf1.0)."""
+    import numpy as np
+
+    dots = np.zeros((A.shape[0], B.shape[0]))
+    for d in range(A.shape[1]):  # left-to-right fold order
+        dots += A[:, d : d + 1] * B[np.newaxis, :, d]
+    na = np.sqrt(_np_lr_sq(A))
+    nb = np.sqrt(_np_lr_sq(B))
+    return _np_half_up4(dots / (na[:, np.newaxis] * nb[np.newaxis, :]))
+
+
+def pair_cos_r4(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    keys,
+    out_col: str = "cos_r4",
+) -> DataFrame:
+    """Row-wise rounded cosine between two embedding columns of a pair
+    frame, as one vectorized Arrow pass (``keys`` + ``out_col`` out).
+    Bit-identical to F.round(_cosine(a, b), 4): per-row dot and norms
+    accumulated dimension-at-a-time (left-to-right IEEE fold), HALF_UP
+    rounding — only the execution engine changed (the JVM HOF fold is
+    CodegenFallback, interpreted per element)."""
+    import numpy as np
+
+    keys = list(keys)
+    t = dict(pairs.select(*keys).dtypes)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf[a_col]]
+            )
+            B = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf[b_col]]
+            )
+            dot = np.zeros(len(pdf))
+            for d in range(A.shape[1]):  # left-to-right fold order
+                dot += A[:, d] * B[:, d]
+            out = pdf[keys].copy()
+            out[out_col] = _np_half_up4(
+                dot / (np.sqrt(_np_lr_sq(A)) * np.sqrt(_np_lr_sq(B)))
+            )
+            yield out
+
+    schema = ", ".join(f"{k} {t[k]}" for k in keys) + f", {out_col} double"
+    return pairs.select(*keys, a_col, b_col).mapInPandas(kernel, schema)
+
+
+def collect_centroid_rows(centroids: DataFrame):
+    """Collect the (bounded, K-row by design) centroid frame to sorted
+    ``[(c_id, [ce...])]`` rows for literal/broadcast kernel use."""
+    return sorted(
+        ((int(r["c_id"]), list(r["ce"])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+
+
+def assign_cells_vec(
+    emb: DataFrame,
+    cent_rows,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, emb, cell): vectorized nearest-centroid assignment — one
+    narrow Arrow pass over the scan's own splits, NO crossJoin/groupBy
+    (assign_cells costs one exchange + an interpreted HOF cosine per
+    (vector, centroid); this kernel is bit-identical — same fold order,
+    same HALF_UP rounding, ties to the smallest c_id via np.argmax
+    taking the first max — and keeps the embedding column so consumers
+    skip the join-back)."""
+    import numpy as np
+
+    C = np.array([ce for _cid, ce in cent_rows], dtype=np.float64)
+    cids = np.array([cid for cid, _ in cent_rows], dtype="int64")
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf[emb_col]]
+            )
+            sims = _np_cos_r4(M, C)
+            out = pdf[[id_col, emb_col]].copy()
+            out["cell"] = cids[np.argmax(sims, axis=1)]
+            yield out
+
+    t = dict(emb.select(id_col, emb_col).dtypes)
+    return emb.select(id_col, emb_col).mapInPandas(
+        kernel, f"{id_col} {t[id_col]}, {emb_col} {t[emb_col]}, cell long"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -178,31 +302,108 @@ def ivf_topk(
 ) -> DataFrame:
     """Top-k neighbours per query, searching only the ``nprobe`` nearest
     cells. Output (query_id, vec_id, sim_r4, rk) matches the brute-force
-    ann_topk shape so recall is directly comparable."""
-    cells = assign_cells(emb, centroids, id_col=id_col, emb_col=emb_col)
-    qscored = queries.crossJoin(F.broadcast(centroids)).select(
-        query_id_col,
-        query_emb_col,
-        F.col("c_id").alias("cell"),
-        F.round(_cosine(F.col(query_emb_col), F.col("ce")), 4).alias("_cs"),
+    ann_topk shape so recall is directly comparable.
+
+    r7 restructure (same results, plan-verified): the r6 form computed
+    every cosine with the interpreted JVM HOF fold — O(n·K) for the
+    assignment plus O(n_q · nprobe · n/K) for the rescore, 23.7s at
+    sf1.0 and quadratic in n (queries AND cell size both grow with n).
+    Now every cosine runs through the vectorized `_np_cos_r4` kernel:
+    (1) corpus → cells via one narrow Arrow pass (no crossJoin
+    exchange); (2) each query picks its nprobe cells inside the same
+    kind of pass (no window over n_q·K rows); (3) the rescore cogroups
+    probes × members BY CELL — each embedding crosses the shuffle once
+    (never copied per query, unlike the old probes⋈members equijoin)
+    and the kernel emits only the per-(query, cell) top-k, which
+    provably contains the global top-k (the global order restricted to
+    a cell is the cell order; a vector lives in exactly one cell, so
+    the old multi-probe max-dedup was already a no-op). The final
+    window ranks n_q · nprobe · topk slim rows instead of the whole
+    candidate set."""
+    import numpy as np
+
+    cent_rows = collect_centroid_rows(centroids)
+    C = np.array([ce for _cid, ce in cent_rows], dtype=np.float64)
+    cids = np.array([cid for cid, _ in cent_rows], dtype="int64")
+
+    members = assign_cells_vec(
+        emb, cent_rows, id_col=id_col, emb_col=emb_col
     )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("_cs").desc(), F.col("cell")
+
+    def probe_kernel(batches):
+        # nprobe nearest cells per query: order (sim desc, c_id asc) —
+        # identical to the old row_number window (lexsort: last key is
+        # the primary). cids is ascending, so index order == c_id order.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(
+                [
+                    np.asarray(e, dtype=np.float64)
+                    for e in pdf[query_emb_col]
+                ]
+            )
+            sims = _np_cos_r4(Q, C)
+            k = min(nprobe, len(cids))
+            rows = []
+            for i in range(len(pdf)):
+                order = np.lexsort((cids, -sims[i]))[:k]
+                rows.append(cids[order])
+            out = pdf.loc[
+                pdf.index.repeat(k), [query_id_col, query_emb_col]
+            ].reset_index(drop=True)
+            out["cell"] = np.concatenate(rows)
+            yield out
+
+    qt = dict(queries.select(query_id_col, query_emb_col).dtypes)
+    probes = queries.select(query_id_col, query_emb_col).mapInPandas(
+        probe_kernel,
+        f"{query_id_col} {qt[query_id_col]}, "
+        f"{query_emb_col} {qt[query_emb_col]}, cell long",
     )
-    probes = (
-        qscored.withColumn("_pr", F.row_number().over(wq))
-        .where(F.col("_pr") <= nprobe)
-        .select(query_id_col, query_emb_col, "cell")
-    )
-    members = cells.join(emb.select(id_col, emb_col), id_col)
-    cand = probes.join(members, "cell").where(
-        F.col(id_col) != F.col(query_id_col)
-    )
-    sim = F.round(_cosine(F.col(query_emb_col), F.col(emb_col)), 4)
+
+    et = dict(emb.select(id_col, emb_col).dtypes)
+
+    def rescore(qpdf, mpdf):
+        import pandas as pd
+
+        if not len(qpdf) or not len(mpdf):
+            return pd.DataFrame(
+                {query_id_col: [], id_col: [], "sim_r4": []}
+            )
+        Q = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in qpdf[query_emb_col]]
+        )
+        M = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in mpdf[emb_col]]
+        )
+        sims = _np_cos_r4(Q, M)
+        vids = mpdf[id_col].to_numpy()
+        qids = qpdf[query_id_col].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for i in range(len(qids)):
+            mask = vids != qids[i]  # self-match exclusion
+            vv, ss = vids[mask], sims[i][mask]
+            order = np.lexsort((vv, -ss))[:topk]
+            out_q.append(np.full(len(order), qids[i]))
+            out_v.append(vv[order])
+            out_s.append(ss[order])
+        return pd.DataFrame(
+            {
+                query_id_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_v),
+                "sim_r4": np.concatenate(out_s),
+            }
+        )
+
     scored2 = (
-        cand.select(query_id_col, id_col, sim.alias("sim_r4"))
-        .groupBy(query_id_col, id_col)
-        .agg(F.max("sim_r4").alias("sim_r4"))  # dedup multi-probe hits
+        probes.groupBy("cell")
+        .cogroup(members.groupBy("cell"))
+        .applyInPandas(
+            lambda q, m: rescore(q, m),
+            f"{query_id_col} {qt[query_id_col]}, {id_col} {et[id_col]}, "
+            "sim_r4 double",
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim_r4").desc(), F.col(id_col)
