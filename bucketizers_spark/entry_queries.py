@@ -692,10 +692,108 @@ def _minhash_stacked(docs, extra_cols=()):
     )
 
 
+def _shingled_docs(spark, sf_dir):
+    """(doc_id, lang, source, _sh): per-doc DISTINCT word-3-gram
+    shingles in ONE vectorized Arrow pass (r7). Value-identical to
+    _with_shingles + array_distinct: Spark's split(text, ' ') keeps
+    empty words exactly like Python str.split(' '), concat_ws over
+    never-null strings equals str.join, distinct keeps first-occurrence
+    order, and docs with < 3 words are dropped by both. The JVM HOF
+    shingle transform is CodegenFallback — interpreted per shingle, it
+    cost ~5s per evaluation at sf1.0 (the streaming mirror keeps the
+    expression form: one definition per engine tier, pinned equal by
+    the stream==batch tests)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    t = dict(docs.dtypes)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            idx, shs = [], []
+            for i, txt in enumerate(pdf["text"]):
+                if txt is None:
+                    continue
+                w = txt.split(" ")
+                if len(w) < 3:
+                    continue
+                idx.append(i)
+                shs.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(w[i2 : i2 + 3])
+                            for i2 in range(len(w) - 2)
+                        )
+                    )
+                )
+            out = (
+                pdf.iloc[idx][["doc_id", "lang", "source"]]
+                .reset_index(drop=True)
+                .copy()
+            )
+            out["_sh"] = shs
+            yield out
+
+    return docs.mapInPandas(
+        kernel,
+        f"doc_id {t['doc_id']}, lang {t['lang']}, source {t['source']}, "
+        "_sh array<string>",
+    )
+
+
+def _minhash_bands_np(base, extra_cols=()):
+    """(doc_id[, *extra], band, band_key) rows — value-identical to
+    _minhash_stacked over the same per-doc shingle sets (one md5 per
+    DISTINCT shingle: the least-fold is invariant under duplicates;
+    hashlib md5 hex == JVM/DuckDB md5 hex; Python min on hex strings
+    == F.least's binary string compare), in one vectorized Arrow pass
+    instead of the interpreted JVM aggregate/zip_with fold."""
+    import hashlib
+
+    cols = ["doc_id", *extra_cols]
+    t = dict(base.select(*cols).dtypes)
+    nb = _N_MINHASH // _BAND_SIZE
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            idx, bands, keys = [], [], []
+            for i, sh in enumerate(pdf["_sh"]):
+                hs = [
+                    hashlib.md5(s.encode("utf-8")).hexdigest() for s in sh
+                ]
+                mh = [
+                    min(h[4 * j : 4 * j + 4] for h in hs)
+                    for j in range(_N_MINHASH)
+                ]
+                for b in range(nb):
+                    idx.append(i)
+                    bands.append(b)
+                    keys.append(
+                        hashlib.md5(
+                            "".join(
+                                mh[b * _BAND_SIZE : (b + 1) * _BAND_SIZE]
+                            ).encode("utf-8")
+                        ).hexdigest()
+                    )
+            out = pdf.iloc[idx][cols].reset_index(drop=True).copy()
+            out["band"] = bands
+            out["band_key"] = keys
+            yield out
+
+    schema = ", ".join(f"{c} {t[c]}" for c in cols)
+    return base.select(*cols, "_sh").mapInPandas(
+        kernel, f"{schema}, band int, band_key string"
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     """Per-doc minhash signature bands (LSH buckets): docs sharing a band
     key are near-dup candidates."""
-    stacked = _minhash_stacked(_with_shingles(_t(spark, sf_dir, "documents")))
+    stacked = _minhash_bands_np(_shingled_docs(spark, sf_dir))
     return stacked.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
@@ -786,10 +884,18 @@ def q_ngram_jaccard(spark, sf_dir):
     self-join (the r1 version was O(n²) within (lang, source): a
     scale-killer at 10^12 docs). Candidates must still share
     (lang, source), preserving the blocking semantics."""
-    docs = _with_shingles(_t(spark, sf_dir, "documents"))
+    # r7: evaluate the shingle pipeline exactly ONCE via the vectorized
+    # kernel — the r6 form re-derived the interpreted HOF shingle
+    # transform for the signature frame, the meta frame and BOTH sides
+    # of the intersection co-count (~4 corpus evaluations ≈ most of
+    # this query's 42s cold at sf1.0). The materialized frame carries
+    # the DISTINCT shingle set; minhash signatures are unchanged by
+    # deduplication (a least-fold over a multiset equals the fold over
+    # its support set), and meta/ex consumed distinct shingles already.
+    base = _shingled_docs(spark, sf_dir).transform(cut_lineage)
     # materialize the (small) signature frame once — a self-join would
-    # otherwise evaluate the whole minhash pipeline on BOTH sides
-    stacked = _minhash_stacked(docs).transform(cut_lineage)
+    # otherwise evaluate the minhash band fold on BOTH sides
+    stacked = _minhash_bands_np(base).transform(cut_lineage)
     cand = (
         stacked.alias("x")
         .join(
@@ -807,11 +913,11 @@ def q_ngram_jaccard(spark, sf_dir):
     # |sh|) metadata and compute intersection sizes by exploding distinct
     # shingles over the candidate set and co-counting: every shuffled row
     # is ids + one shingle string.
-    meta = docs.select(
+    meta = base.select(
         "doc_id",
         "lang",
         "source",
-        F.size(F.array_distinct("_sh")).alias("nsh"),
+        F.size("_sh").alias("nsh"),  # _sh is distinct in base
     )
     cand = (
         cand.join(meta.alias("ai"), F.col("a_id") == F.col("ai.doc_id"))
@@ -827,9 +933,7 @@ def q_ngram_jaccard(spark, sf_dir):
             F.col("bi.nsh").alias("_nsh_b"),
         )
     )
-    ex = docs.select(
-        "doc_id", F.explode(F.array_distinct("_sh")).alias("_shv")
-    )
+    ex = base.select("doc_id", F.explode("_sh").alias("_shv"))
     inter_df = (
         cand.join(ex.alias("ea"), F.col("a_id") == F.col("ea.doc_id"))
         .join(
@@ -2868,7 +2972,7 @@ def q_ngram_diversity(spark, sf_dir):
     md5'd at the map stage (word_ngram_hashes) so the wide op moves
     32-char hashes. Sources whose documents are all shorter than 3
     words drop out (inner join; both engines agree)."""
-    from bucketizers_spark.functions.ngrams import word_ngram_hashes
+    from bucketizers_spark.functions.ngrams import word_ngram_hashes_frame
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -2883,9 +2987,10 @@ def q_ngram_diversity(spark, sf_dir):
             F.count(F.lit(1)).alias("n_types"),
         )
     )
-    gr = docs.select(
-        "source",
-        F.explode(word_ngram_hashes(F.col("text"), 3)).alias("g"),
+    # r7: vectorized gram-hash kernel (identical hashes; single consumer
+    # so no materialization needed)
+    gr = word_ngram_hashes_frame(docs, "source", "text", 3).withColumnRenamed(
+        "gram_h", "g"
     )
     gs = (
         gr.groupBy("source", "g")
@@ -2966,14 +3071,15 @@ def q_decontaminate(spark, sf_dir):
     before any wide op so shuffle rows stay 32 bytes + key, never the
     n-gram text. All expressions are JVM codegen (split / transform /
     slice / concat_ws / md5); no Python in the path."""
-    from bucketizers_spark.functions.ngrams import word_ngram_hashes
+    from bucketizers_spark.functions.ngrams import word_ngram_hashes_frame
 
     docs = _t(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id",
-        F.explode(word_ngram_hashes(F.col("text"), _DECON_N)).alias(
-            "gram_h"
-        ),
+    # r7: vectorized gram-hash kernel (value-identical to the exploded
+    # JVM HOF md5-per-gram form, which is CodegenFallback) + ONE
+    # materialization — `g` feeds both the benchmark set and the corpus
+    # probe, which otherwise each re-derive the full gram scan.
+    g = word_ngram_hashes_frame(docs, "doc_id", "text", _DECON_N).transform(
+        cut_lineage
     )
     bench = (
         g.where(F.col("doc_id") % _DECON_MOD == 0)
@@ -3028,12 +3134,13 @@ def q_segment_dedup(spark, sf_dir):
     Catalyst/AQE can still demote to broadcast when it is small; both
     the dup groupBy and the join partition by seg_h, so the exchange is
     reusable. One final groupBy on doc_id produces the report."""
-    from bucketizers_spark.functions.ngrams import segment_hashes
+    from bucketizers_spark.functions.ngrams import segment_hashes_frame
 
     docs = _t(spark, sf_dir, "documents")
-    seg = docs.select(
-        "doc_id",
-        F.explode(segment_hashes(F.col("text"), _SEG_LEN)).alias("seg_h"),
+    # r7: vectorized segment-hash kernel + one materialization (`seg`
+    # feeds the dup set AND the membership join — see q_decontaminate)
+    seg = segment_hashes_frame(docs, "doc_id", "text", _SEG_LEN).transform(
+        cut_lineage
     )
     dup = (
         seg.groupBy("seg_h")
@@ -3104,15 +3211,14 @@ def q_segment_dedup_cdc(spark, sf_dir):
     countDistinct on seg_h (NOT broadcast; scales with the corpus),
     membership join reusing the seg_h exchange, one final doc_id
     groupBy."""
-    from bucketizers_spark.functions.ngrams import cdc_segment_hashes
+    from bucketizers_spark.functions.ngrams import cdc_segment_hashes_frame
 
     docs = _t(spark, sf_dir, "documents")
-    seg = docs.select(
-        "doc_id",
-        F.explode(
-            cdc_segment_hashes(F.col("text"), window=_CDC_WINDOW)
-        ).alias("seg_h"),
-    )
+    # r7: vectorized CDC chunker (one md5 per word position was the
+    # dominant interpreted-HOF cost) + one materialization (two consumers)
+    seg = cdc_segment_hashes_frame(
+        docs, "doc_id", "text", window=_CDC_WINDOW
+    ).transform(cut_lineage)
     dup = (
         seg.groupBy("seg_h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -54,6 +54,107 @@ def segment_hashes(text_col: Column, seg_len: int) -> Column:
     )
 
 
+def _hash_explode_frame(df, id_col: str, text_col: str, fn, out_col: str):
+    """(id, hash) rows from a per-text hash-list function, as ONE
+    vectorized Arrow pass — the r7 batch engine for the expression
+    forms below (value-identical; the JVM md5-per-gram HOFs are
+    CodegenFallback: interpreted per position, they dominated the
+    segment/decon queries at sf1.0). Emits one row per hash INCLUDING
+    duplicates, exactly like explode() over the column form; rows whose
+    text yields no hashes produce no output, exactly like explode of an
+    empty/null array."""
+    t = dict(df.select(id_col).dtypes)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            idx, vals = [], []
+            for i, txt in enumerate(pdf[text_col]):
+                if txt is None:
+                    continue
+                hs = fn(txt)
+                if hs:
+                    idx.extend([i] * len(hs))
+                    vals.extend(hs)
+            out = pdf.iloc[idx][[id_col]].reset_index(drop=True).copy()
+            out[out_col] = vals
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} {t[id_col]}, {out_col} string"
+    )
+
+
+def word_ngram_hashes_frame(df, id_col: str, text_col: str, n: int):
+    """Vectorized (id, gram_h) equivalent of
+    ``explode(word_ngram_hashes(text, n))`` — same md5-of-UTF8 hex,
+    same < n-words drop, duplicates kept."""
+    import hashlib
+
+    def fn(txt: str):
+        w = txt.split(" ")
+        if len(w) < n:
+            return []
+        return [
+            hashlib.md5(" ".join(w[i : i + n]).encode("utf-8")).hexdigest()
+            for i in range(len(w) - n + 1)
+        ]
+
+    return _hash_explode_frame(df, id_col, text_col, fn, "gram_h")
+
+
+def segment_hashes_frame(df, id_col: str, text_col: str, seg_len: int):
+    """Vectorized (id, seg_h) equivalent of
+    ``explode(segment_hashes(text, seg_len))`` — same non-overlapping
+    chunks, last chunk short, always >= 1 segment (''.split(' ') is
+    [''] on both engines)."""
+    import hashlib
+    import math
+
+    def fn(txt: str):
+        w = txt.split(" ")
+        nseg = math.ceil(len(w) / seg_len)
+        return [
+            hashlib.md5(
+                " ".join(w[c * seg_len : (c + 1) * seg_len]).encode("utf-8")
+            ).hexdigest()
+            for c in range(nseg)
+        ]
+
+    return _hash_explode_frame(df, id_col, text_col, fn, "seg_h")
+
+
+def cdc_segment_hashes_frame(
+    df, id_col: str, text_col: str, window: int = 4
+):
+    """Vectorized (id, seg_h) equivalent of
+    ``explode(cdc_segment_hashes(text, window))`` — same boundary rule
+    (trailing-window md5 first hex char '0', or end of document), same
+    segment md5s, >= 1 segment per doc."""
+    import hashlib
+
+    def fn(txt: str):
+        w = txt.split(" ")
+        n = len(w)
+        out, prev = [], 0
+        for i in range(1, n + 1):
+            start = max(i - (window - 1), 1)
+            is_b = i == n or hashlib.md5(
+                " ".join(w[start - 1 : i]).encode("utf-8")
+            ).hexdigest()[0] == "0"
+            if is_b:
+                out.append(
+                    hashlib.md5(
+                        " ".join(w[prev:i]).encode("utf-8")
+                    ).hexdigest()
+                )
+                prev = i
+        return out
+
+    return _hash_explode_frame(df, id_col, text_col, fn, "seg_h")
+
+
 def cdc_segment_hashes(text_col: Column, window: int = 4) -> Column:
     """Array of md5 hashes of CONTENT-DEFINED segments of ``text_col``
     (Rabin-style chunking at the word level): a segment boundary falls

@@ -113,34 +113,19 @@ def _char_chain(value_col: str, ascii_fast: bool, max_depth: int) -> _Chain:
     """Character-prefix chain over the normalized value ('+' for spaces)."""
 
     def prepare(df: DataFrame) -> DataFrame:
+        # r7: _m (TRUE chain length = count of non-'+' chars) comes from
+        # length(translate(...)) — one native codegen pass — instead of
+        # sizing a per-character HOF position array over the WHOLE value
+        # (transform/filter are CodegenFallback: interpreted per char,
+        # ~7s per evaluation over sf1.0 documents). The position array
+        # itself moved to slim(), where it is computed over the already
+        # max_depth-capped prefix (a handful of chars, not the document).
         norm = normalize_substring_col(F.col(value_col), ascii_fast=ascii_fast)
         v = F.translate(norm, " ", "+")
         df = df.withColumn("_v", v)
-        # prefix lengths that are valid nodes: positions whose character is
-        # not '+' (a prefix ending in '+' is never checked/created).
-        # Computed over split(_v, '') so the normalize chain is referenced
-        # ONCE per row — a position-indexed substr lambda would let
-        # CollapseProject inline the whole normalize chain into the lambda
-        # body, re-running regexp_replace once per character (O(len²) regex
-        # work per row, 30× slower measured; r1 used an eager
-        # localCheckpoint barrier instead, which cost a per-query job).
-        # split('', '') yields [''] — the filter drops it, so the empty
-        # string needs no guard.
-        chars = F.split(F.col("_v"), "")
-        npos = F.filter(
-            F.transform(
-                chars,
-                lambda c, i: F.when((c != "+") & (c != ""), i + 1).otherwise(
-                    F.lit(None).cast("int")
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        )
-        return (
-            df.withColumn("_npos", npos)
-            .withColumn("_m", F.size("_npos"))
-            .withColumn("_multi", F.col("_v").contains("+"))
-        )
+        return df.withColumn(
+            "_m", F.length(F.translate(F.col("_v"), "+", ""))
+        ).withColumn("_multi", F.col("_v").contains("+"))
 
     def node(level: int) -> Column:
         return F.col("_v").substr(
@@ -163,17 +148,36 @@ def _char_chain(value_col: str, ascii_fast: bool, max_depth: int) -> _Chain:
 
     def slim(df: DataFrame) -> DataFrame:
         # the cascade never looks past chain level max_depth: cap the
-        # positions array and the value string to shrink the per-level
-        # shuffle working set (_m stays the TRUE chain length so terminal
-        # vs valve semantics are unchanged)
-        npos_t = F.slice(F.col("_npos"), 1, max_depth)
+        # value string to the prefix ending at its max_depth-th non-'+'
+        # char — ONE compiled-regex native pass ('+*[^+]' consumed up to
+        # max_depth times, greedy, anchored) that replaces the old
+        # whole-value per-character HOF scan (r7; _m stays the TRUE
+        # chain length from prepare(), so terminal-vs-valve semantics
+        # are unchanged). The node-position array is then built over the
+        # capped prefix only; positions in a prefix are positions in the
+        # full value, so node()/parent()/py_nodes are untouched.
+        # split('', '') yields [''] — the filter drops it, so the empty
+        # string needs no guard.
         v_t = F.when(
             F.col("_m") > 0,
-            F.col("_v").substr(
-                F.lit(1), F.element_at(npos_t, F.least(F.col("_m"), F.lit(max_depth)))
+            F.regexp_extract(
+                F.col("_v"),
+                r"^((?:\+*[^+]){1," + str(max_depth) + r"})",
+                1,
             ),
         ).otherwise(F.col("_v"))
-        return df.withColumn("_v", v_t).withColumn("_npos", npos_t).drop(value_col)
+        df = df.withColumn("_v", v_t)
+        chars = F.split(F.col("_v"), "")
+        npos = F.filter(
+            F.transform(
+                chars,
+                lambda c, i: F.when((c != "+") & (c != ""), i + 1).otherwise(
+                    F.lit(None).cast("int")
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return df.withColumn("_npos", npos).drop(value_col)
 
     def _npos_of(n: Column) -> Column:
         return F.filter(
@@ -545,7 +549,13 @@ def _run_cascade(
     # so per-level shuffles and hot-node sorts never carry the payload;
     # the payload is joined back onto the (seq, bucket_id) map at the end
     slim_in = df.select(seq_col, *pcols, *chain.input_cols)
-    work = chain.slim(chain.prepare(slim_in))
+    # materialize the slim working set ONCE (r7): every cascade phase —
+    # the root count, the root-threshold head, the walk/level shuffles
+    # and the final assignment union — consumes `work`, and without a
+    # cut each action re-evaluates the whole normalize+chain prep over
+    # the corpus (measured 3-4 evaluations ≈ 3-4× the prep cost per
+    # query at sf1.0). One eager cut pays the prep exactly once.
+    work = chain.slim(chain.prepare(slim_in)).transform(cut_lineage)
 
     assignment_parts: list[DataFrame] = []
     relation_parts: list[DataFrame] = []
