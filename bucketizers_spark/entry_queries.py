@@ -2867,7 +2867,7 @@ def q_pmi_bigrams(spark, sf_dir):
     (not hashes) flows through the bigram shuffle because the operator
     must split the gram back into member words — bounded at 2 words
     per row."""
-    from bucketizers_spark.functions.ngrams import word_ngrams
+    from bucketizers_spark.functions.ngrams import word_ngrams_frame
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("text").transform(cut_lineage)  # one corpus scan
@@ -2878,8 +2878,9 @@ def q_pmi_bigrams(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .transform(cut_lineage)  # vocab frame feeds both joins + the total
     )
+    # r7: vectorized gram kernel (see q_ngram_topk) — identical grams
     bi = (
-        toks.select(F.explode(word_ngrams(F.col("text"), 2)).alias("g"))
+        word_ngrams_frame(toks, [], "text", 2, out_col="g")
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c12"))
         .where(F.col("c12") >= _PMI_MIN_COUNT)
@@ -4050,17 +4051,13 @@ def q_ngram_topk(spark, sf_dir):
     (per-partition heaps + driver merge of K rows), so no global sort of
     the distinct-ngram frame ever happens; the deterministic (count
     desc, ngram asc) order makes the K-row cut stable for hashing."""
+    from bucketizers_spark.functions.ngrams import word_ngrams_frame
+
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
-        ),
-    )
+    # r7: vectorized gram kernel replaces the interpreted per-gram HOF
+    # concat (CodegenFallback) — identical gram text, < 2-word drop
     counts = (
-        docs.where(F.size(words) >= 2)
-        .select(F.explode(bigrams).alias("ngram"))
+        word_ngrams_frame(docs, [], "text", 2, out_col="ngram")
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -86,6 +86,39 @@ def _hash_explode_frame(df, id_col: str, text_col: str, fn, out_col: str):
     )
 
 
+def word_ngrams_frame(df, id_cols, text_col: str, n: int, out_col="gram"):
+    """Vectorized (``*id_cols``, gram TEXT) equivalent of
+    ``explode(word_ngrams(text, n))`` — same space-joined grams, same
+    < n-words drop, duplicates kept. For consumers that need the words
+    themselves (PMI, top-k reporting); hash-only consumers should use
+    :func:`word_ngram_hashes_frame`."""
+    id_cols = list(id_cols)
+    t = dict(df.select(*id_cols).dtypes) if id_cols else {}
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            idx, vals = [], []
+            for i, txt in enumerate(pdf[text_col]):
+                if txt is None:
+                    continue
+                w = txt.split(" ")
+                if len(w) < n:
+                    continue
+                grams = [
+                    " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+                ]
+                idx.extend([i] * len(grams))
+                vals.extend(grams)
+            out = pdf.iloc[idx][id_cols].reset_index(drop=True).copy()
+            out[out_col] = vals
+            yield out
+
+    schema = "".join(f"{c} {t[c]}, " for c in id_cols) + f"{out_col} string"
+    return df.select(*id_cols, text_col).mapInPandas(kernel, schema)
+
+
 def word_ngram_hashes_frame(df, id_col: str, text_col: str, n: int):
     """Vectorized (id, gram_h) equivalent of
     ``explode(word_ngram_hashes(text, n))`` — same md5-of-UTF8 hex,

@@ -61,7 +61,29 @@ def with_global_rank0(
     # against every later query measurably poisons unrelated plan analysis
     # when these frames leak (observed: 45s plans after a dozen queries).
     mat = df.transform(cut_lineage)
-    if single_task_threshold and mat.count() <= single_task_threshold:
+    # r7: the gating pass now also reads min/max for integer keys. A
+    # DENSE unique key (max - min + 1 == count) fully determines the
+    # rank — rank0 = key - min as a narrow map, no sort at all (and
+    # ties cannot exist, so resolution is trivially identical). Same
+    # single job as the old bare count; source-stamped seqs (the
+    # fixture's event_id/doc_id) hit this path every time.
+    is_int = dict(df.dtypes)[order_col] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    if is_int:
+        row = mat.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(order_col).alias("mn"),
+            F.max(order_col).alias("mx"),
+        ).first()
+        cnt = row["c"]
+        if cnt and row["mx"] - row["mn"] + 1 == cnt:
+            return mat.withColumn(
+                out_col, (F.col(order_col) - F.lit(row["mn"])).cast("long")
+            )
+    else:
+        cnt = mat.count()
+    if single_task_threshold and cnt <= single_task_threshold:
         w = Window.orderBy(order_col)
         return mat.withColumn(
             out_col, (F.row_number().over(w) - 1).cast("long")

