@@ -1011,18 +1011,20 @@ def _cosine(a, b):
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5 (the exact
     baseline an IVF/LSH path is validated against)."""
+    from bucketizers_spark.operators.ivf import bcast_cos_scored
+
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    joined = F.broadcast(q).crossJoin(
-        emb.select("vec_id", "embedding")
-    ).where(F.col("vec_id") != F.col("query_id"))
-    # r7: vectorized Arrow pair kernel replaces the interpreted JVM HOF
-    # cosine fold — same arithmetic (left-to-right fold, HALF_UP round)
-    scored = pair_cos_r4(
-        joined, "qe", "embedding", keys=("query_id", "vec_id"),
-        out_col="sim_r4",
+    # r7: collect the BOUNDED query set (5 rows by the pinned predicate)
+    # and score the corpus in one narrow Arrow pass — no crossJoin, no
+    # per-candidate copy of the query embedding, identical sims
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    scored = bcast_cos_scored(
+        emb, "vec_id", "embedding", q_rows, sim_col="sim_r4"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_r4").desc(), F.col("vec_id")
@@ -1065,19 +1067,19 @@ def q_knn_classify(spark, sf_dir):
     (k·|Q| rows) BROADCAST against the corpus scan — never the corpus
     against the queries; the vote agg and final argmax window are
     query-bounded."""
+    from bucketizers_spark.operators.ivf import bcast_cos_scored
+
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    joined = (
-        F.broadcast(q)
-        .crossJoin(emb.select("vec_id", "embedding"))
-        .where(F.col("vec_id") != F.col("query_id"))
-    )
-    # r7: vectorized pair kernel (see q_ann_topk) — identical sims
-    scored = pair_cos_r4(
-        joined, "qe", "embedding", keys=("query_id", "vec_id"),
-        out_col="sim_r4",
+    # r7: bounded query collect + one narrow scoring pass (see
+    # q_ann_topk) — identical sims, no crossJoin
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    scored = bcast_cos_scored(
+        emb, "vec_id", "embedding", q_rows, sim_col="sim_r4"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_r4").desc(), F.col("vec_id")
@@ -1181,18 +1183,16 @@ def q_ann_int8(spark, sf_dir):
             ).alias("qv"),
         )
     )
-    q = eq.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
-    )
-    joined = F.broadcast(q).crossJoin(eq).where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    # r7: vectorized pair kernel (int arrays cast to double per element
-    # exactly like the JVM fold's x.cast("double")) — identical sims
-    scored = pair_cos_r4(
-        joined, "qq", "qv", keys=("query_id", "vec_id"),
-        out_col="simq_r4",
-    )
+    from bucketizers_spark.operators.ivf import bcast_cos_scored
+
+    # r7: bounded quantized-query collect + one narrow scoring pass
+    # (see q_ann_topk); int arrays cast to double per element exactly
+    # like the JVM fold's x.cast("double") — identical sims
+    q_rows = [
+        (r["vec_id"], r["qv"])
+        for r in eq.where(F.col("vec_id") < 5).collect()
+    ]
+    scored = bcast_cos_scored(eq, "vec_id", "qv", q_rows, sim_col="simq_r4")
     w = Window.partitionBy("query_id").orderBy(
         F.col("simq_r4").desc(), F.col("vec_id")
     )

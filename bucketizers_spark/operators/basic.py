@@ -37,7 +37,9 @@ def _with_rank0(df: DataFrame, seq_col: str, dense_seq: bool) -> DataFrame:
     never a single-task sort."""
     if dense_seq:
         return df.withColumn("_rank0", F.col(seq_col).cast("long"))
-    return with_global_rank0(df, seq_col, out_col="_rank0")
+    # probe_uncut: the pager's input is the caller's raw frame (scan-
+    # cheap), so the dense probe runs column-pruned with no checkpoint
+    return with_global_rank0(df, seq_col, out_col="_rank0", probe_uncut=True)
 
 
 def _boundary_relations(

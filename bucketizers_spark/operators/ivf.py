@@ -242,6 +242,56 @@ def pair_cos_r4(
     return pairs.select(*keys, a_col, b_col).mapInPandas(kernel, schema)
 
 
+def bcast_cos_scored(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    q_rows,
+    *,
+    sim_col: str = "sim_r4",
+) -> DataFrame:
+    """(query_id, id, sim): rounded cosine of every corpus row against
+    a BOUNDED collected query set (``q_rows``: [(qid, [vec...])]), as
+    one narrow Arrow pass with the self-pair excluded — replaces the
+    broadcast crossJoin + per-pair cosine shape, which duplicated the
+    query embedding onto every candidate row (r7; the brute-force
+    ann_topk/knn/int8 family). Same fold order, same HALF_UP rounding,
+    same `id != query_id` exclusion — identical rows."""
+    import numpy as np
+
+    qids = np.array([q[0] for q in q_rows])
+    Q = np.array([list(q[1]) for q in q_rows], dtype=np.float64)
+    t = dict(df.select(id_col).dtypes)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf[emb_col]]
+            )
+            sims = _np_cos_r4(M, Q)
+            vids = pdf[id_col].to_numpy()
+            n, k = sims.shape
+            out_v = np.repeat(vids, k)
+            out_q = np.tile(qids, n)
+            mask = out_v != out_q  # self-match exclusion
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[mask],
+                    id_col: out_v[mask],
+                    sim_col: sims.ravel()[mask],
+                }
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(
+        kernel,
+        f"query_id {t[id_col]}, {id_col} {t[id_col]}, {sim_col} double",
+    )
+
+
 def collect_centroid_rows(centroids: DataFrame):
     """Collect the (bounded, K-row by design) centroid frame to sorted
     ``[(c_id, [ce...])]`` rows for literal/broadcast kernel use."""

@@ -39,6 +39,7 @@ def with_global_rank0(
     out_col: str = "rank0",
     partitions: int | None = None,
     single_task_threshold: int | None = None,
+    probe_uncut: bool = False,
 ) -> DataFrame:
     """Return ``df`` with a 0-based dense global rank by ``order_col``.
 
@@ -49,6 +50,27 @@ def with_global_rank0(
     p = partitions or spark.sparkContext.defaultParallelism
     if single_task_threshold is None:
         single_task_threshold = SINGLE_TASK_THRESHOLD  # runtime-patchable
+    is_int = dict(df.dtypes)[order_col] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    # r7 fast path for CHEAP upstream plans (probe_uncut — the pagers,
+    # whose input is the caller's raw scan): probe density with a
+    # COLUMN-PRUNED agg over the uncut plan. If the key is dense the
+    # rank is a pure narrow map and NOTHING is materialized — the old
+    # shape paid a full-width localCheckpoint of the input (2.5s at
+    # sf1.0 events) just to gate the path. Non-dense keys fall through
+    # and pay one pruned pass extra, which is why expensive upstreams
+    # (subject first-seen aggregates) keep the cut-first default.
+    if is_int and probe_uncut:
+        row = df.select(order_col).agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(order_col).alias("mn"),
+            F.max(order_col).alias("mx"),
+        ).first()
+        if row["c"] and row["mx"] - row["mn"] + 1 == row["c"]:
+            return df.withColumn(
+                out_col, (F.col(order_col) - F.lit(row["mn"])).cast("long")
+            )
     # Materialize ONCE up front: the gating count needs a full pass over
     # the (possibly expensive) upstream plan anyway — without the
     # checkpoint, whichever path is chosen would recompute that plan from
@@ -67,9 +89,6 @@ def with_global_rank0(
     # ties cannot exist, so resolution is trivially identical). Same
     # single job as the old bare count; source-stamped seqs (the
     # fixture's event_id/doc_id) hit this path every time.
-    is_int = dict(df.dtypes)[order_col] in (
-        "tinyint", "smallint", "int", "bigint",
-    )
     if is_int:
         row = mat.agg(
             F.count(F.lit(1)).alias("c"),
