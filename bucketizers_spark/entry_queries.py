@@ -2125,12 +2125,23 @@ def q_lm_score(spark, sf_dir):
     ).transform(cut_lineage)  # dw feeds the LM build AND the scoring join;
     # without this the exploded-text lineage (a full corpus scan) is
     # re-derived three times — same fix as tfidf_terms/bm25_search
-    lm = dw.groupBy("lang", "w").agg(F.sum("dcnt").alias("cnt"))
-    tot = lm.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    lmp = lm.join(F.broadcast(tot), "lang")
-    nll = -F.log(F.col("cnt").cast("double") / F.col("tot"))
-    scored = dw.join(lmp, ["lang", "w"]).select(
-        "doc_id", "lang", "dcnt", nll.alias("nll")
+    # r7: the LM term count comes from a window over the SLIM dw frame
+    # (the r6 tfidf_terms restructure pattern — (lang, w) is vocabulary-
+    # cardinality, so the window partitions stay bounded) instead of a
+    # separate lm aggregate + (lang, w) equijoin: one shuffle replaces
+    # an aggregate + join pair, and the exact long sums are unchanged.
+    # The per-lang totals stay a map-side-combinable aggregate +
+    # broadcast (a PARTITION BY lang window would funnel each language
+    # through one task — the hot-key shape this repo avoids).
+    tot = dw.groupBy("lang").agg(F.sum("dcnt").alias("tot"))
+    cnt = F.sum("dcnt").over(Window.partitionBy("lang", "w"))
+    scored = dw.withColumn("_cnt", cnt).join(
+        F.broadcast(tot), "lang"
+    ).select(
+        "doc_id",
+        "lang",
+        "dcnt",
+        (-F.log(F.col("_cnt").cast("double") / F.col("tot"))).alias("nll"),
     )
     return scored.groupBy("doc_id", "lang").agg(
         F.sum("dcnt").alias("n_words"),

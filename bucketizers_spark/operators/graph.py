@@ -43,6 +43,15 @@ from pyspark.sql import functions as F
 from bucketizers_spark.plans.materialize import cut_lineage
 
 
+#: Below this many distinct undirected edges the min-label rounds cost
+#: more in per-job scheduling latency than the data is worth: a driver
+#: union-find over the (bounded by this gate) collected edge list is
+#: exact and removes O(diameter) join+agg+count jobs — the same hybrid
+#: as operators/rank.SINGLE_TASK_THRESHOLD. The distributed rounds stay
+#: the path for anything larger.
+SMALL_GRAPH_THRESHOLD = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -52,6 +61,7 @@ def connected_components(
     node_col: str = "node",
     max_rounds: int = 25,
     strict: bool = True,
+    small_graph_threshold: int | None = None,
 ) -> DataFrame:
     """Return (node, component) where component is the minimum node id
     reachable from ``node`` over the undirected ``edges``.
@@ -73,6 +83,51 @@ def connected_components(
         .distinct()
         .transform(cut_lineage)
     )
+    if small_graph_threshold is None:
+        small_graph_threshold = SMALL_GRAPH_THRESHOLD
+    if small_graph_threshold and und.count() <= small_graph_threshold:
+        # r7 small-graph fast path: the edge list is bounded by the gate
+        # just checked, so a driver union-find is exact and replaces the
+        # per-round join + groupBy + convergence-count jobs whose fixed
+        # scheduling latency dominates tiny graphs. Component label =
+        # min node id, identical to the fixpoint of the rounds below.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in und.collect():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for n in parent:
+            r = find(n)
+            m = comp_min.get(r)
+            if m is None or n < m:
+                comp_min[r] = n
+        spark = edges.sparkSession
+        node_type = und.schema["a"].dataType.simpleString()
+        labels = spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in parent],
+            f"{node_col} {node_type}, component {node_type}",
+        )
+        if nodes is not None:
+            iso = nodes.select(F.col(node_col)).distinct().join(
+                labels.select(node_col), node_col, "left_anti"
+            )
+            labels = labels.union(
+                iso.withColumn("component", F.col(node_col))
+            )
+        return labels
     labels = (
         und.select(F.col("a").alias(node_col))
         .union(und.select(F.col("b").alias(node_col)))

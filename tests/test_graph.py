@@ -52,16 +52,45 @@ class TestConnectedComponents:
         assert got == {1: 1, 2: 1}
 
     def test_strict_valve_raises_then_lenient_passes(self, spark):
-        # an 8-chain needs more than 2 min-propagation rounds
+        # an 8-chain needs more than 2 min-propagation rounds; force the
+        # distributed rounds (the r7 small-graph union-find fast path
+        # always converges, so the valve only applies at scale)
         chain = [(i + 1, i) for i in range(1, 8)]
         e = spark.createDataFrame(chain, "src long, dst long")
         with pytest.raises(RuntimeError, match="no fixpoint"):
-            connected_components(e, max_rounds=2)
-        out = connected_components(e, max_rounds=2, strict=False)
+            connected_components(e, max_rounds=2, small_graph_threshold=0)
+        out = connected_components(
+            e, max_rounds=2, strict=False, small_graph_threshold=0
+        )
         # lenient: still a valid partial merge (labels monotonically
         # decreased), just not the full closure
         got = {r["node"]: r["component"] for r in out.collect()}
         assert all(c <= n for n, c in got.items())
+
+    def test_small_graph_fast_path_equals_rounds(self, spark):
+        # r7: the driver union-find fast path must equal the distributed
+        # min-label rounds exactly — same labels, same singleton handling
+        import random
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+        ]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(250)], "node long"
+        )
+        fast = {
+            (r["node"], r["component"])
+            for r in connected_components(e, nodes=nodes).collect()
+        }
+        slow = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                e, nodes=nodes, small_graph_threshold=0
+            ).collect()
+        }
+        assert fast == slow and len(fast) == 250
 
 
 class TestConnectedComponentsStar:
