@@ -259,6 +259,19 @@ def parse_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # ADVICE r6: a legal baseline JPEG may carry
+                # NON-INTERLEAVED scans (SOS component count < frame
+                # component count, one scan per component). Decoding
+                # such a scan as interleaved produces wrong pixels, and
+                # the missing scan_tabs entries previously surfaced as
+                # a bare KeyError — name the seam instead.
+                raise NotImplementedError(
+                    "non-interleaved JPEG scan (SOS components "
+                    f"{ns} != frame components {len(frame[2])}) not "
+                    "supported natively; run with fake=True or install "
+                    "PIL on the cluster"
+                )
             scan_tabs = {}
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
@@ -281,6 +294,14 @@ def _decode_scan(
             f"{len(comps)}-component JPEG (CMYK/unknown) not supported "
             "natively; run with fake=True or install PIL on the cluster"
         )
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is ALWAYS non-interleaved —
+        # the data unit is one 8x8 block and the declared sampling
+        # factors do not apply (ADVICE r6: a grayscale frame with
+        # factors > 1 previously decoded with interleaved MCU geometry
+        # and produced wrong pixels).
+        cid, _ch, _cv, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     for _, ch, cv, _tq in comps:

@@ -144,12 +144,27 @@ class IvfIndex:
         # plan-time type check sidesteps both. Null-safe negation so a
         # NULL corpus id is kept as an ordinary non-self candidate.
         cand = probes.join(members, "cell")
-        if (
-            emb.schema[id_col].dataType
-            == queries.schema[query_id_col].dataType
-        ):
+        id_t = emb.schema[id_col].dataType
+        q_t = queries.schema[query_id_col].dataType
+        numeric = ("byte", "short", "integer", "long", "float", "double")
+
+        def _is_num(t):
+            return t.typeName() in numeric
+
+        if id_t == q_t:
             cand = cand.where(
                 ~F.col(id_col).eqNullSafe(F.col(query_id_col))
+            )
+        elif _is_num(id_t) and _is_num(q_t):
+            # ADVICE r6: ids in one numeric id space previously compared
+            # via numeric widening — only skip the exclusion for
+            # INCOMPARABLE type families (e.g. string vs numeric), and
+            # compare numerics on a common widened cast so a query never
+            # silently appears in its own top-k.
+            cand = cand.where(
+                ~F.col(id_col)
+                .cast("double")
+                .eqNullSafe(F.col(query_id_col).cast("double"))
             )
         sim = F.round(_cosine(F.col(query_emb_col), F.col(emb_col)), 4)
         scored = (

@@ -81,9 +81,9 @@ def parse_warc_bytes(
     """Parse one WARC file's bytes into record dicts. Tolerant of both
     CRLF (spec) and LF header line endings. A malformed record (bad
     magic, unparseable header block, missing/invalid Content-Length)
-    does NOT end the scan: the scanner resyncs to the next ``\\nWARC/``
-    boundary and continues, so mid-file corruption costs only the
-    corrupt region. A record whose declared body overruns the file
+    does NOT end the scan: the scanner resyncs to the next ``WARC/``
+    boundary (newline-preceded or bare) and continues, so mid-file
+    corruption costs only the corrupt region. A record whose declared body overruns the file
     (truncated fetch) ends the scan. Pass ``stats`` (a dict) to receive
     ``skipped_bytes`` / ``resyncs`` counters, updated as the scan
     progresses. The resync may land on ``WARC/`` bytes inside an
@@ -100,9 +100,17 @@ def parse_warc_bytes(
 
     def resync(from_pos: int, search_from: int) -> int:
         """Skip to the next plausible record boundary, counting the
-        bytes from ``from_pos`` as lost. Returns the new pos (n = EOF)."""
-        nxt = data.find(b"\nWARC/", search_from)
-        new_pos = (nxt + 1) if nxt != -1 else n
+        bytes from ``from_pos`` as lost. Returns the new pos (n = EOF).
+        ADVICE r6: consider a BARE ``WARC/`` occurrence too, not only
+        ``\\nWARC/`` — a valid boundary directly abutting garbage (no
+        preceding newline) previously lost the rest of the file to
+        skipped_bytes. Header validation rejects false positives, so
+        the bare match only risks one extra resync, never a corrupt
+        record emitted as good. Both callers pass a ``search_from``
+        strictly past any already-rejected magic, so the bare search
+        cannot re-match the current position."""
+        nxt = data.find(b"WARC/", search_from)
+        new_pos = nxt if nxt != -1 else n
         stats["skipped_bytes"] += new_pos - from_pos
         stats["resyncs"] += 1
         return new_pos

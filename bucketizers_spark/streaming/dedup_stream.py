@@ -363,15 +363,20 @@ SEMDEDUP_CANDIDATES_SCHEMA = T.StructType(
 
 def _make_cell_pairs_fn(tau: float, max_reps: int | None):
     """Per-CELL semantic candidate kernel: state = up to ``max_reps``
-    representative (id, unit-normalized embedding) pairs, first-arrived
-    (same bounded-state design as _make_bucket_pairs_fn — a dense
-    duplicate cell caps at max_reps embeddings instead of holding the
-    whole cell); each arriving vector emits one candidate pair per
+    representative (id, RAW embedding) pairs, first-arrived (same
+    bounded-state design as _make_bucket_pairs_fn — a dense duplicate
+    cell caps at max_reps embeddings instead of holding the whole
+    cell); each arriving vector emits one candidate pair per
     representative with rounded cosine >= tau, then joins the
-    representative set if there is room. Cosines are numpy matmuls over
-    the batch, rounded to 4 places exactly like the batch operator so
-    threshold sets agree."""
+    representative set if there is room. ADVICE r6: cosines reuse the
+    BATCH kernel's exact arithmetic — dimension-at-a-time left-to-right
+    dot/norm folds over the raw vectors and HALF_UP rounding
+    (operators/semdedup._lr_sq/_half_up4) — instead of a BLAS dot over
+    pre-normalized copies with Python's half-even round(), so boundary
+    cosines cross tau identically to the batch operator."""
     import numpy as np
+
+    from bucketizers_spark.operators.semdedup import _half_up4, _lr_sq
 
     def fn(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -392,15 +397,22 @@ def _make_cell_pairs_fn(tau: float, max_reps: int | None):
                 pdf["vec_id"], pdf["seq"], pdf["embedding"]
             ):
                 v = np.asarray(emb, dtype=np.float64)
-                nv = v / max(np.sqrt((v * v).sum()), 1e-12)
+                nv = np.sqrt(_lr_sq(v[np.newaxis, :]))[0]
                 vid = str(vid)
-                for rid, re_ in zip(ids, embs):
-                    c = round(float(nv @ re_), 4)
-                    if c >= tau:
-                        rows.append((cell, rid, vid, c, int(seq)))
+                if ids:
+                    R = np.stack(embs)
+                    dot = np.zeros(len(ids))
+                    for d in range(R.shape[1]):  # left-to-right fold
+                        dot += R[:, d] * v[d]
+                    cs = _half_up4(dot / (np.sqrt(_lr_sq(R)) * nv))
+                    for rid, c in zip(ids, cs):
+                        if c >= tau:
+                            rows.append(
+                                (cell, rid, vid, float(c), int(seq))
+                            )
                 if max_reps is None or len(ids) < max_reps:
                     ids.append(vid)
-                    embs.append(nv)
+                    embs.append(v)
         state.update((ids, [e.tolist() for e in embs]))
         if rows:
             yield pd.DataFrame(

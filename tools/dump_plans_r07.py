@@ -21,6 +21,7 @@ TOUCHED = [
     "dedup_minhash", "ngram_jaccard", "dedup_cluster", "decontaminate",
     "segment_dedup", "segment_dedup_cdc", "ngram_diversity",
     "ngram_topk", "pmi_bigrams", "basic_pager", "fallback_pager",
+    "lm_score",
 ]
 
 
