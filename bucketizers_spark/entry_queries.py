@@ -932,8 +932,30 @@ def q_ngram_jaccard(spark, sf_dir):
             F.col("ai.nsh").alias("_nsh_a"),
             F.col("bi.nsh").alias("_nsh_b"),
         )
+        # materialized once: it now feeds the id prune below AND the
+        # co-count join, and the cut keeps the band self-join out of
+        # both plans.
+        .transform(cut_lineage)
     )
-    ex = base.select("doc_id", F.explode("_sh").alias("_shv"))
+    # Pre-filter the big exploded side with a semi-join on the candidate
+    # doc ids (guide §3.2): the co-count only ever consumes shingles of
+    # docs that appear in a candidate pair, but without the prune BOTH
+    # join sides shuffle the full n_docs x shingles frame even when the
+    # band join yields a handful of pairs (measured: ~3 s of a 6.6 s
+    # query at 10x profiling scale for ONE surviving candidate). Result
+    # rows are untouched — the inner joins below already restrict to
+    # cand's ids. No broadcast is forced: AQE turns the semi-join into a
+    # broadcast probe when the id set is small and keeps a shuffle join
+    # when candidates scale with the corpus.
+    cand_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id")))
+        .distinct()
+    )
+    ex = (
+        base.select("doc_id", F.explode("_sh").alias("_shv"))
+        .join(cand_ids, "doc_id", "leftsemi")
+    )
     inter_df = (
         cand.join(ex.alias("ea"), F.col("a_id") == F.col("ea.doc_id"))
         .join(
