@@ -932,25 +932,32 @@ def q_ngram_jaccard(spark, sf_dir):
             F.col("ai.nsh").alias("_nsh_a"),
             F.col("bi.nsh").alias("_nsh_b"),
         )
-        # materialized once: it now feeds the id prune below AND the
-        # co-count join, and the cut keeps the band self-join out of
-        # both plans.
-        .transform(cut_lineage)
     )
     # Pre-filter the big exploded side with a semi-join on the candidate
     # doc ids (guide §3.2): the co-count only ever consumes shingles of
     # docs that appear in a candidate pair, but without the prune BOTH
     # join sides shuffle the full n_docs x shingles frame even when the
     # band join yields a handful of pairs (measured: ~3 s of a 6.6 s
-    # query at 10x profiling scale for ONE surviving candidate). Result
-    # rows are untouched — the inner joins below already restrict to
-    # cand's ids. No broadcast is forced: AQE turns the semi-join into a
-    # broadcast probe when the id set is small and keeps a shuffle join
-    # when candidates scale with the corpus.
-    cand_ids = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .union(cand.select(F.col("b_id")))
-        .distinct()
+    # query at 10x profiling scale for ONE surviving candidate). The id
+    # set is derived from the (small, checkpointed) band frame — a doc
+    # is a candidate iff some band key pairs it with another doc — which
+    # is a SUPERSET of the post-blocking pair ids (a superset prune is
+    # still exact: the inner joins below already restrict to cand's
+    # ids) and avoids re-deriving or materializing the candidate join.
+    # No broadcast is forced: AQE turns the semi-join into a broadcast
+    # probe when the id set is small and keeps a shuffle join when
+    # candidates scale with the corpus.
+    dup_keys = (
+        stacked.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("band", "band_key")
+    )
+    # no .distinct(): a leftsemi probe only tests existence, so the ~2
+    # rows per doc (one per band) cost nothing and skipping the
+    # deduplicating exchange saves a stage.
+    cand_ids = stacked.join(dup_keys, ["band", "band_key"], "leftsemi").select(
+        "doc_id"
     )
     ex = (
         base.select("doc_id", F.explode("_sh").alias("_shv"))
