@@ -25,6 +25,7 @@ Query inventory maps to SURVEY.md §2 + the training-data pipeline extras:
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 
@@ -69,8 +70,28 @@ def _t(
     # measured 5x); for selective cheap predicates (ann_* vec_id probes)
     # pushdown-to-scan is the better plan, so this stays opt-in. At
     # production scale the branch never fires and plans are untouched.
+    # Effective scan parallelism for a parquet FILE is bounded by its
+    # row-group count, not its byte-range split count: Spark sizes
+    # splits as min(maxPartitionBytes, max(openCost, bytes/cores)), so
+    # a large single-row-group file yields MANY splits of which only
+    # the one containing the row-group offset produces rows — the
+    # partition count then looks healthy while every row sits in one
+    # task (measured: a 59 MB single-row-group documents file scanned
+    # as 15 splits, 14 of them empty, serializing every kernel onto one
+    # core). Reading the footer's row-group count (driver-side, no data
+    # I/O) restores the true floor; directory inputs (production
+    # layouts, many files) skip the probe and keep split count.
     p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(p, 8):
+    eff = df.rdd.getNumPartitions()
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(path):
+        try:
+            import pyarrow.parquet as _pq
+
+            eff = min(eff, _pq.ParquetFile(path).metadata.num_row_groups)
+        except Exception:
+            pass
+    if eff < min(p, 8):
         df = df.repartition(p)
         if barrier:
             # always-true, but spark_partition_id() is nondeterministic
@@ -692,108 +713,147 @@ def _minhash_stacked(docs, extra_cols=()):
     )
 
 
-def _shingled_docs(spark, sf_dir):
-    """(doc_id, lang, source, _sh): per-doc DISTINCT word-3-gram
-    shingles in ONE vectorized Arrow pass (r7). Value-identical to
-    _with_shingles + array_distinct: Spark's split(text, ' ') keeps
-    empty words exactly like Python str.split(' '), concat_ws over
-    never-null strings equals str.join, distinct keeps first-occurrence
-    order, and docs with < 3 words are dropped by both. The JVM HOF
-    shingle transform is CodegenFallback — interpreted per shingle, it
-    cost ~5s per evaluation at sf1.0 (the streaming mirror keeps the
-    expression form: one definition per engine tier, pinned equal by
-    the stream==batch tests)."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text"
-    )
-    t = dict(docs.dtypes)
+# Shared shingle semantics for the three fused document kernels below —
+# value-identical to the pre-r7 _with_shingles + array_distinct JVM form
+# (Python str.split(' ') keeps empty words exactly like Spark's
+# split(text, ' '); ' '.join over never-null strings == concat_ws;
+# dict.fromkeys keeps first-occurrence order; docs with < 3 words and
+# null texts are dropped by both). zip/map instead of an index-slice
+# genexp builds identical grams ((w[i], w[i+1], w[i+2]) joined with ' ',
+# ending at i = len(w)-3) without allocating a slice list per gram.
+#
+# r7 (late): the shingle pipeline was previously ONE kernel emitting a
+# (doc_id, lang, source, _sh array<string>) frame consumed by the
+# minhash fold, the meta projection and the explode. Measured at a 10x-
+# of-sf1.0 replica, ~90% of its wall time was not compute but MOVING
+# the list<string> column across the Arrow boundary (and through the
+# lineage-cut materialization). The shingle set is now recomputed
+# inside each consumer's fused kernel instead — a few core-seconds of
+# pure Python per corpus pass — and only slim columns ever cross:
+# (doc_id, band, band_key), (doc_id, lang, source, nsh), and the
+# exploded (doc_id, _shv) rows the co-count join needed anyway.
+
+
+def _minhash_bands_docs(docs, extra_cols=(), with_nsh=False):
+    """(doc_id[, *extra], band, band_key) rows straight from document
+    TEXT in one fused Arrow pass — value-identical to _minhash_stacked
+    over the per-doc distinct shingle sets (one md5 per DISTINCT
+    shingle: the least-fold is invariant under duplicates; hashlib md5
+    hex == JVM/DuckDB md5 hex; Python min on hex strings == F.least's
+    binary string compare).
+
+    Bit-identical vectorization of the per-shingle fold (the pre-r7
+    form paid ~_N_MINHASH Python slice+min ops per shingle):
+    hexdigest[4j:4j+4] is the lowercase-hex encoding of digest bytes
+    [2j:2j+2], and min over fixed-width lowercase hex strings equals
+    numeric min (the hex charset is ordered), so the 8 slice-mins
+    collapse to one numpy uint16 min over np.frombuffer(digest, '>u2')
+    rows, and '%04x' re-emits exactly the winning slice. A per-TASK
+    memo caches digest rows for repeated shingles (md5 is pure; bounded
+    at 2^20 entries so executor memory stays flat on adversarial
+    corpora). Pinned bitwise vs the slice-min fold in
+    tests/test_minhash_kernel.py.
+
+    ``with_nsh`` additionally emits the doc's DISTINCT-shingle count on
+    every band row (== F.size of the old shingle column), so a consumer
+    needing per-doc shingle metadata can derive it from the band frame
+    (rows where band == 0) instead of paying a second corpus pass."""
+    import hashlib
+
+    import numpy as np
+
+    cols = ["doc_id", *extra_cols]
+    t = dict(docs.select(*cols).dtypes)
+    nb = _N_MINHASH // _BAND_SIZE
 
     def kernel(batches):
+        memo: dict = {}
+        fmt = ("%04x" * _N_MINHASH).__mod__
+        md5 = hashlib.md5
+        hw = 4 * _BAND_SIZE  # hex chars per band key input
         for pdf in batches:
             if not len(pdf):
                 continue
-            idx, shs = [], []
+            idx, bands, keys, nshs = [], [], [], []
             for i, txt in enumerate(pdf["text"]):
                 if txt is None:
                     continue
                 w = txt.split(" ")
                 if len(w) < 3:
                     continue
-                idx.append(i)
-                shs.append(
-                    list(
-                        dict.fromkeys(
-                            " ".join(w[i2 : i2 + 3])
-                            for i2 in range(len(w) - 2)
+                sh = dict.fromkeys(map(" ".join, zip(w, w[1:], w[2:])))
+                rows = np.empty((len(sh), _N_MINHASH), dtype=np.uint16)
+                for k, s in enumerate(sh):
+                    v = memo.get(s)
+                    if v is None:
+                        v = np.frombuffer(
+                            md5(s.encode("utf-8")).digest(), dtype=">u2"
                         )
-                    )
-                )
-            out = (
-                pdf.iloc[idx][["doc_id", "lang", "source"]]
-                .reset_index(drop=True)
-                .copy()
-            )
-            out["_sh"] = shs
-            yield out
-
-    return docs.mapInPandas(
-        kernel,
-        f"doc_id {t['doc_id']}, lang {t['lang']}, source {t['source']}, "
-        "_sh array<string>",
-    )
-
-
-def _minhash_bands_np(base, extra_cols=()):
-    """(doc_id[, *extra], band, band_key) rows — value-identical to
-    _minhash_stacked over the same per-doc shingle sets (one md5 per
-    DISTINCT shingle: the least-fold is invariant under duplicates;
-    hashlib md5 hex == JVM/DuckDB md5 hex; Python min on hex strings
-    == F.least's binary string compare), in one vectorized Arrow pass
-    instead of the interpreted JVM aggregate/zip_with fold."""
-    import hashlib
-
-    cols = ["doc_id", *extra_cols]
-    t = dict(base.select(*cols).dtypes)
-    nb = _N_MINHASH // _BAND_SIZE
-
-    def kernel(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            idx, bands, keys = [], [], []
-            for i, sh in enumerate(pdf["_sh"]):
-                hs = [
-                    hashlib.md5(s.encode("utf-8")).hexdigest() for s in sh
-                ]
-                mh = [
-                    min(h[4 * j : 4 * j + 4] for h in hs)
-                    for j in range(_N_MINHASH)
-                ]
+                        if len(memo) < (1 << 20):
+                            memo[s] = v
+                    rows[k] = v
+                hx = fmt(tuple(rows.min(axis=0)))
                 for b in range(nb):
                     idx.append(i)
                     bands.append(b)
                     keys.append(
-                        hashlib.md5(
-                            "".join(
-                                mh[b * _BAND_SIZE : (b + 1) * _BAND_SIZE]
-                            ).encode("utf-8")
-                        ).hexdigest()
+                        md5(hx[b * hw : (b + 1) * hw].encode("utf-8")).hexdigest()
                     )
+                if with_nsh:
+                    nshs.extend([len(sh)] * nb)
             out = pdf.iloc[idx][cols].reset_index(drop=True).copy()
+            if with_nsh:
+                out["nsh"] = nshs
             out["band"] = bands
             out["band_key"] = keys
             yield out
 
     schema = ", ".join(f"{c} {t[c]}" for c in cols)
-    return base.select(*cols, "_sh").mapInPandas(
+    if with_nsh:
+        schema += ", nsh int"
+    return docs.select(*cols, "text").mapInPandas(
         kernel, f"{schema}, band int, band_key string"
     )
+
+
+def _exploded_shingles(docs):
+    """(doc_id, _shv): one row per DISTINCT shingle per doc of the given
+    (doc_id, text) frame — the fused replacement for explode(_sh) over
+    the old shingle frame (same drops, same values; row order within a
+    doc is first-occurrence, which no consumer depends on). Filter the
+    input frame BEFORE calling when only a subset's shingles are needed
+    — the prune then happens ahead of the Python boundary."""
+    import pandas as pd
+
+    docs = docs.select("doc_id", "text")
+    t = dict(docs.dtypes)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, vs = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                if txt is None:
+                    continue
+                w = txt.split(" ")
+                if len(w) < 3:
+                    continue
+                sh = dict.fromkeys(map(" ".join, zip(w, w[1:], w[2:])))
+                ids.extend([did] * len(sh))
+                vs.extend(sh)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "_shv": vs})
+
+    return docs.mapInPandas(kernel, f"doc_id {t['doc_id']}, _shv string")
 
 
 def q_dedup_minhash(spark, sf_dir):
     """Per-doc minhash signature bands (LSH buckets): docs sharing a band
     key are near-dup candidates."""
-    stacked = _minhash_bands_np(_shingled_docs(spark, sf_dir))
+    stacked = _minhash_bands_docs(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return stacked.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
@@ -884,18 +944,25 @@ def q_ngram_jaccard(spark, sf_dir):
     self-join (the r1 version was O(n²) within (lang, source): a
     scale-killer at 10^12 docs). Candidates must still share
     (lang, source), preserving the blocking semantics."""
-    # r7: evaluate the shingle pipeline exactly ONCE via the vectorized
-    # kernel — the r6 form re-derived the interpreted HOF shingle
-    # transform for the signature frame, the meta frame and BOTH sides
-    # of the intersection co-count (~4 corpus evaluations ≈ most of
-    # this query's 42s cold at sf1.0). The materialized frame carries
-    # the DISTINCT shingle set; minhash signatures are unchanged by
-    # deduplication (a least-fold over a multiset equals the fold over
-    # its support set), and meta/ex consumed distinct shingles already.
-    base = _shingled_docs(spark, sf_dir).transform(cut_lineage)
-    # materialize the (small) signature frame once — a self-join would
-    # otherwise evaluate the minhash band fold on BOTH sides
-    stacked = _minhash_bands_np(base).transform(cut_lineage)
+    # r7: each consumer of the shingle pipeline gets its own FUSED
+    # text->slim-columns kernel (see the note above _minhash_bands_docs:
+    # recomputing the shingle sets costs a few core-seconds per corpus
+    # pass, while shipping the list<string> shingle column across the
+    # Arrow boundary and through a lineage-cut materialization was ~90%
+    # of the old frame's wall time). Minhash signatures are unchanged by
+    # per-doc deduplication (a least-fold over a multiset equals the
+    # fold over its support set); meta/ex consume distinct shingles.
+    # Materialize the signature frame once — it feeds the band
+    # self-join on BOTH sides, the dup_keys/cand_ids prune below, AND
+    # (via with_nsh + the blocking columns riding along) the per-doc
+    # meta the candidate join needs, so no second corpus pass exists.
+    stacked = _minhash_bands_docs(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        ),
+        extra_cols=("lang", "source"),
+        with_nsh=True,
+    ).transform(cut_lineage)
     cand = (
         stacked.alias("x")
         .join(
@@ -913,11 +980,10 @@ def q_ngram_jaccard(spark, sf_dir):
     # |sh|) metadata and compute intersection sizes by exploding distinct
     # shingles over the candidate set and co-counting: every shuffled row
     # is ids + one shingle string.
-    meta = base.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.size("_sh").alias("nsh"),  # _sh is distinct in base
+    # meta derives from the already-cut band frame (one row per doc at
+    # band 0) — zero extra corpus passes, zero extra materializations.
+    meta = stacked.where(F.col("band") == 0).select(
+        "doc_id", "lang", "source", "nsh"
     )
     cand = (
         cand.join(meta.alias("ai"), F.col("a_id") == F.col("ai.doc_id"))
@@ -959,9 +1025,19 @@ def q_ngram_jaccard(spark, sf_dir):
     cand_ids = stacked.join(dup_keys, ["band", "band_key"], "leftsemi").select(
         "doc_id"
     )
+    # The prune runs BELOW the explode kernel: documents are semi-join
+    # filtered to candidate ids first (a narrow 2-column join), so the
+    # shingle kernel only ever computes/ships candidate docs' shingles.
+    # Cut after: the co-count consumes ex on both sides, and the
+    # materialized frame holds only candidates' shingles (bounded by
+    # band-join selectivity), so kernel + prune run exactly once.
     ex = (
-        base.select("doc_id", F.explode("_sh").alias("_shv"))
-        .join(cand_ids, "doc_id", "leftsemi")
+        _exploded_shingles(
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .join(cand_ids, "doc_id", "leftsemi")
+        )
+        .transform(cut_lineage)
     )
     inter_df = (
         cand.join(ex.alias("ea"), F.col("a_id") == F.col("ea.doc_id"))
