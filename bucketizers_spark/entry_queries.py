@@ -3195,8 +3195,16 @@ def q_decontaminate(spark, sf_dir):
     # JVM HOF md5-per-gram form, which is CodegenFallback) + ONE
     # materialization — `g` feeds both the benchmark set and the corpus
     # probe, which otherwise each re-derive the full gram scan.
-    g = word_ngram_hashes_frame(docs, "doc_id", "text", _DECON_N).transform(
-        cut_lineage
+    # unhex before the cut (guide §2.3 "narrower types"): every wide op
+    # — the cut materialization, the benchmark distinct, the broadcast
+    # set and the per-doc distinct count — moves the 16-byte md5 BINARY
+    # instead of its 32-char hex string. hex<->binary is a bijection,
+    # so distinct counts and join matches are identical and the output
+    # is unchanged.
+    g = (
+        word_ngram_hashes_frame(docs, "doc_id", "text", _DECON_N)
+        .select("doc_id", F.unhex("gram_h").alias("gram_h"))
+        .transform(cut_lineage)
     )
     bench = (
         g.where(F.col("doc_id") % _DECON_MOD == 0)
@@ -3256,8 +3264,13 @@ def q_segment_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # r7: vectorized segment-hash kernel + one materialization (`seg`
     # feeds the dup set AND the membership join — see q_decontaminate)
-    seg = segment_hashes_frame(docs, "doc_id", "text", _SEG_LEN).transform(
-        cut_lineage
+    # unhex before the cut: all wide ops move 16-byte binary segment
+    # hashes (bijective with the hex form — identical groups, joins
+    # and counts; see q_decontaminate).
+    seg = (
+        segment_hashes_frame(docs, "doc_id", "text", _SEG_LEN)
+        .select("doc_id", F.unhex("seg_h").alias("seg_h"))
+        .transform(cut_lineage)
     )
     dup = (
         seg.groupBy("seg_h")
@@ -3333,9 +3346,13 @@ def q_segment_dedup_cdc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # r7: vectorized CDC chunker (one md5 per word position was the
     # dominant interpreted-HOF cost) + one materialization (two consumers)
-    seg = cdc_segment_hashes_frame(
-        docs, "doc_id", "text", window=_CDC_WINDOW
-    ).transform(cut_lineage)
+    # unhex before the cut: binary segment hashes through every wide op
+    # (bijective with hex; see q_decontaminate)
+    seg = (
+        cdc_segment_hashes_frame(docs, "doc_id", "text", window=_CDC_WINDOW)
+        .select("doc_id", F.unhex("seg_h").alias("seg_h"))
+        .transform(cut_lineage)
+    )
     dup = (
         seg.groupBy("seg_h")
         .agg(F.countDistinct("doc_id").alias("nd"))
